@@ -1,0 +1,258 @@
+"""Primitive NN layers as pure functions over explicit parameter pytrees.
+
+Design: instead of a module framework, every layer is an ``*_init(key, ...)
+-> params`` / ``*_apply(params, x, ...) -> y`` pair operating on plain dicts
+of jnp arrays.  This keeps the whole model a pure function of (params, inputs,
+rng), which is what pjit/shard_map want, makes sharding annotations trivial,
+and allows direct import of PyTorch reference checkpoints for parity testing.
+
+Initialisation matches the reference exactly:
+ - Linear/Conv: Xavier-uniform with activation gain (reference layers.py:8-39)
+   on weights; torch's default (fan-in uniform) on biases.
+ - LSTM: torch default U(-1/sqrt(H), 1/sqrt(H)) on all weights and biases,
+   gate order (i, f, g, o) so reference checkpoints load verbatim.
+ - Embedding: the model-level custom uniform (reference model.py:503-506) is
+   applied by the model, not here.
+
+Compute notes (TPU):
+ - conv1d is expressed via lax.conv_general_dilated with NCH layout; XLA maps
+   k=5/31 1-D convs onto the MXU as implicit GEMMs.
+ - lstm_cell is one fused [in+H] x [4H] matmul per step (MXU) instead of
+   torch's two.
+ - batchnorm keeps running stats explicitly in a separate "state" pytree
+   (the functional analogue of torch BatchNorm1d buffers).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GAINS = {
+    "linear": 1.0,
+    "sigmoid": 1.0,
+    "tanh": 5.0 / 3.0,
+    "relu": math.sqrt(2.0),
+}
+
+
+def xavier_uniform(key, shape, fan_in, fan_out, gain: float = 1.0,
+                   dtype=jnp.float32):
+    a = gain * math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, minval=-a, maxval=a, dtype=dtype)
+
+
+# -- Linear -----------------------------------------------------------------
+
+def linear_init(key, in_dim: int, out_dim: int, bias: bool = True,
+                gain: str = "linear"):
+    kw, kb = jax.random.split(key)
+    p = {"w": xavier_uniform(kw, (in_dim, out_dim), in_dim, out_dim,
+                             GAINS[gain])}
+    if bias:
+        bound = 1.0 / math.sqrt(in_dim)
+        p["b"] = jax.random.uniform(kb, (out_dim,), minval=-bound,
+                                    maxval=bound)
+    return p
+
+
+def linear_apply(p, x):
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"]
+    return y.astype(x.dtype)
+
+
+# -- Conv1d -----------------------------------------------------------------
+
+def conv1d_init(key, in_ch: int, out_ch: int, kernel_size: int,
+                bias: bool = True, gain: str = "linear", groups: int = 1):
+    kw, kb = jax.random.split(key)
+    fan_in = (in_ch // groups) * kernel_size
+    fan_out = (out_ch // groups) * kernel_size
+    p = {"w": xavier_uniform(kw, (out_ch, in_ch // groups, kernel_size),
+                             fan_in, fan_out, GAINS[gain])}
+    if bias:
+        bound = 1.0 / math.sqrt(fan_in)
+        p["b"] = jax.random.uniform(kb, (out_ch,), minval=-bound, maxval=bound)
+    return p
+
+
+def conv1d_apply(p, x, stride: int = 1, padding: Optional[int] = None,
+                 dilation: int = 1, groups: int = 1):
+    """x: [B, C_in, T] → [B, C_out, T'] (same NCH layout as the reference)."""
+    w = p["w"]
+    if padding is None:
+        padding = dilation * (w.shape[-1] - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        y = y + p["b"][None, :, None]
+    return y.astype(x.dtype)
+
+
+# -- BatchNorm1d ------------------------------------------------------------
+
+def batchnorm_init(num_features: int):
+    params = {"scale": jnp.ones(num_features), "bias": jnp.zeros(num_features)}
+    state = {"mean": jnp.zeros(num_features), "var": jnp.ones(num_features)}
+    return params, state
+
+
+def batchnorm_apply(params, state, x, training: bool, momentum: float = 0.1,
+                    eps: float = 1e-5, mask: Optional[jnp.ndarray] = None):
+    """x: [B, C, T].  Returns (y, new_state).
+
+    In training mode the batch statistics are computed over (B, T); with a
+    ``mask`` [B, T] of valid frames the statistics exclude padding (the
+    reference's BatchNorm1d naively includes padding — we fix that defect but
+    keep unmasked behavior when mask is None for parity testing).
+    """
+    if training:
+        xf = x.astype(jnp.float32)
+        if mask is not None:
+            m = mask.astype(jnp.float32)[:, None, :]
+            n = jnp.maximum(m.sum(), 1.0)
+            mean = (xf * m).sum(axis=(0, 2)) / n
+            var = (((xf - mean[None, :, None]) ** 2) * m).sum(axis=(0, 2)) / n
+            count = n
+        else:
+            mean = xf.mean(axis=(0, 2))
+            var = xf.var(axis=(0, 2))
+            count = xf.shape[0] * xf.shape[2]
+        # torch tracks running var with Bessel correction.
+        unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + eps) * params["scale"]
+    y = (x - mean[None, :, None]) * inv[None, :, None] \
+        + params["bias"][None, :, None]
+    return y.astype(x.dtype), new_state
+
+
+# -- Dropout ----------------------------------------------------------------
+
+def dropout(key, x, rate: float, enabled: bool = True):
+    if not enabled or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+# -- Embedding --------------------------------------------------------------
+
+def embedding_init(key, num_embeddings: int, dim: int,
+                   scale: Optional[float] = None):
+    if scale is None:
+        return jax.random.normal(key, (num_embeddings, dim))
+    return jax.random.uniform(key, (num_embeddings, dim), minval=-scale,
+                              maxval=scale)
+
+
+# -- LSTM -------------------------------------------------------------------
+
+def lstm_cell_init(key, input_dim: int, hidden_dim: int):
+    """torch LSTMCell-compatible params: w_ih [4H, in], w_hh [4H, H],
+    b_ih/b_hh [4H], gate order (i, f, g, o); all U(-1/sqrt(H), 1/sqrt(H))."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    bound = 1.0 / math.sqrt(hidden_dim)
+    u = lambda k, shape: jax.random.uniform(k, shape, minval=-bound,
+                                            maxval=bound)
+    return {
+        "w_ih": u(k1, (4 * hidden_dim, input_dim)),
+        "w_hh": u(k2, (4 * hidden_dim, hidden_dim)),
+        "b_ih": u(k3, (4 * hidden_dim,)),
+        "b_hh": u(k4, (4 * hidden_dim,)),
+    }
+
+
+def lstm_cell(p, x, h, c):
+    """One LSTM step.  x: [B, in], h/c: [B, H] → (h', c').
+
+    Fused as a single [B, in+H] x [in+H, 4H] matmul for the MXU.
+    """
+    hidden = h.shape[-1]
+    w = jnp.concatenate([p["w_ih"], p["w_hh"]], axis=1).T  # [in+H, 4H]
+    gates = jnp.dot(jnp.concatenate([x, h], axis=-1), w,
+                    preferred_element_type=jnp.float32)
+    gates = gates + (p["b_ih"] + p["b_hh"])
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    c_new = f * c.astype(jnp.float32) + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new.astype(x.dtype), c_new.astype(x.dtype)
+
+
+def _reverse_padded(x, lengths):
+    """Reverse each sequence within its valid length: x [B, T, D]."""
+    T = x.shape[1]
+    t = jnp.arange(T)[None, :]
+    idx = jnp.where(t < lengths[:, None], lengths[:, None] - 1 - t, t)
+    return jnp.take_along_axis(x, idx[:, :, None], axis=1)
+
+
+def lstm_layer_init(key, input_dim: int, hidden_dim: int):
+    return lstm_cell_init(key, input_dim, hidden_dim)
+
+
+def _unidirectional_scan(p, x):
+    """Run an LSTM over [B, T, D] → [B, T, H] via lax.scan (time-major)."""
+    B = x.shape[0]
+    H = p["w_hh"].shape[1]
+    xt = jnp.swapaxes(x, 0, 1)  # [T, B, D]
+
+    def step(carry, xi):
+        h, c = carry
+        h, c = lstm_cell(p, xi, h, c)
+        return (h, c), h
+
+    init = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+    _, ys = jax.lax.scan(step, init, xt)
+    return jnp.swapaxes(ys, 0, 1)
+
+
+def bilstm_init(key, input_dim: int, hidden_dim: int):
+    kf, kb = jax.random.split(key)
+    return {"fwd": lstm_cell_init(kf, input_dim, hidden_dim),
+            "bwd": lstm_cell_init(kb, input_dim, hidden_dim)}
+
+
+def bilstm_apply(p, x, lengths=None):
+    """Bidirectional LSTM over [B, T, D] → [B, T, 2H].
+
+    Replaces torch's pack_padded_sequence (reference model.py:105-112): the
+    backward pass is made length-exact by reversing each row within its valid
+    length, and outputs beyond each length are zeroed (pad_packed parity).
+    """
+    fwd = _unidirectional_scan(p["fwd"], x)
+    if lengths is not None:
+        xr = _reverse_padded(x, lengths)
+        bwd = _unidirectional_scan(p["bwd"], xr)
+        bwd = _reverse_padded(bwd, lengths)
+    else:
+        bwd = _unidirectional_scan(p["bwd"], x[:, ::-1])[:, ::-1]
+    out = jnp.concatenate([fwd, bwd], axis=-1)
+    if lengths is not None:
+        valid = (jnp.arange(x.shape[1])[None, :] < lengths[:, None])
+        out = out * valid[:, :, None].astype(out.dtype)
+    return out
