@@ -1,0 +1,548 @@
+"""Dual-stream BERT-Tacotron 2 as pure JAX functions, built for XLA/TPU.
+
+Re-implements the capabilities of the reference BERT_Tacotron2
+(reference model.py:494-582): two input streams (phoneme IDs and subword
+token IDs), each with its own conv+BiLSTM encoder and its own attention,
+both conditioned on a sentence-level BERT [CLS] vector, fused in one shared
+autoregressive mel decoder with a postnet residual.
+
+TPU-first design decisions (vs the reference's per-frame Python loop,
+model.py:417-424, which launches ~20 small CUDA kernels per mel frame):
+
+ - The teacher-forced decoder is ONE ``lax.scan`` over mel frames.  The
+   prenet for all frames and both streams runs *before* the scan as a single
+   batched matmul, and the mel/gate projections run *after* the scan on the
+   stacked hidden states — so the scan body contains only the 3 LSTM cells
+   and the attention math.
+ - Inference is a ``lax.while_loop`` with static-shape output buffers
+   (max_decoder_steps), per-sample gate-stop tracking, and early exit when
+   every sample has fired its gate — JAX-compatible semantics for the
+   reference's dynamic stop (model.py:461-488), including the
+   gate_threshold / INFER_FLAG behavior.
+ - All state (2 attention LSTMs, decoder LSTM, per-stream attention weights
+   + cumulative weights + variant-specific state) lives in an explicit
+   carry pytree with static shapes.
+
+Parameters are plain nested dicts (see nn/layers.py) initialised exactly as
+the reference initialises its torch modules.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tacotron2_subword_tpu.config import TacotronConfig
+from tacotron2_subword_tpu.models import attention as A
+from tacotron2_subword_tpu.nn import layers as L
+
+GATE_PAD_VALUE = 1e3  # reference model.py:539
+
+
+def sequence_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """[B] lengths → [B, max_len] bool, True at valid positions."""
+    return jnp.arange(max_len)[None, :] < lengths[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _encoder_init(key, cfg: TacotronConfig):
+    ks = jax.random.split(key, cfg.encoder_n_convolutions + 1)
+    convs = []
+    bns = []
+    for i in range(cfg.encoder_n_convolutions):
+        conv = L.conv1d_init(ks[i], cfg.encoder_embedding_dim,
+                             cfg.encoder_embedding_dim,
+                             cfg.encoder_kernel_size, gain="relu")
+        bn_p, bn_s = L.batchnorm_init(cfg.encoder_embedding_dim)
+        convs.append({"conv": conv, "bn": bn_p})
+        bns.append(bn_s)
+    lstm = L.bilstm_init(ks[-1], cfg.encoder_embedding_dim,
+                         cfg.encoder_embedding_dim // 2)
+    return {"convs": convs, "lstm": lstm}, bns
+
+
+def _postnet_init(key, cfg: TacotronConfig):
+    n = cfg.postnet_n_convolutions
+    ks = jax.random.split(key, n)
+    layers, bns = [], []
+    for i in range(n):
+        in_ch = cfg.n_mel_channels if i == 0 else cfg.postnet_embedding_dim
+        out_ch = (cfg.n_mel_channels if i == n - 1
+                  else cfg.postnet_embedding_dim)
+        gain = "linear" if i == n - 1 else "tanh"
+        conv = L.conv1d_init(ks[i], in_ch, out_ch, cfg.postnet_kernel_size,
+                             gain=gain)
+        bn_p, bn_s = L.batchnorm_init(out_ch)
+        layers.append({"conv": conv, "bn": bn_p})
+        bns.append(bn_s)
+    return layers, bns
+
+
+def _prenet_init(key, cfg: TacotronConfig):
+    k1, k2 = jax.random.split(key)
+    return [
+        L.linear_init(k1, cfg.n_mel_channels * cfg.n_frames_per_step,
+                      cfg.prenet_dim, bias=False),
+        L.linear_init(k2, cfg.prenet_dim, cfg.prenet_dim, bias=False),
+    ]
+
+
+def _decoder_init(key, cfg: TacotronConfig):
+    ks = jax.random.split(key, 9)
+    attn = lambda k: A.attention_init(
+        k, cfg.attention, cfg.attention_rnn_dim, cfg.encoder_embedding_dim,
+        cfg.attention_dim, cfg.attention_location_n_filters,
+        cfg.attention_location_kernel_size)
+    return {
+        "prenet": _prenet_init(ks[0], cfg),
+        "prenet_bert": _prenet_init(ks[1], cfg),
+        "attention_rnn": L.lstm_cell_init(
+            ks[2], cfg.prenet_dim + cfg.encoder_embedding_dim,
+            cfg.attention_rnn_dim),
+        "attention_rnn_bert": L.lstm_cell_init(
+            ks[3], cfg.prenet_dim + cfg.encoder_embedding_dim,
+            cfg.attention_rnn_dim),
+        "attention": attn(ks[4]),
+        "attention_bert": attn(ks[5]),
+        "decoder_rnn": L.lstm_cell_init(
+            ks[6], 2 * cfg.attention_rnn_dim + 2 * cfg.encoder_embedding_dim,
+            cfg.decoder_rnn_dim),
+        "linear_projection": L.linear_init(
+            ks[7], cfg.decoder_rnn_dim + 2 * cfg.encoder_embedding_dim,
+            cfg.n_mel_channels * cfg.n_frames_per_step),
+        "gate_layer": L.linear_init(
+            ks[8], cfg.decoder_rnn_dim + 2 * cfg.encoder_embedding_dim, 1,
+            gain="sigmoid"),
+    }
+
+
+def init_tacotron2(key, cfg: TacotronConfig):
+    """Returns (params, batchnorm_state)."""
+    ks = jax.random.split(key, 8)
+    # reference model.py:503-506: uniform(-val, val) with val from n_symbols
+    # (the SAME val is reused for the subword table — reference quirk kept).
+    std = (2.0 / (cfg.n_symbols + cfg.symbols_embedding_dim)) ** 0.5
+    val = (3.0 ** 0.5) * std
+    enc, enc_bn = _encoder_init(ks[2], cfg)
+    enc_sub, enc_sub_bn = _encoder_init(ks[3], cfg)
+    post, post_bn = _postnet_init(ks[6], cfg)
+    params = {
+        "embedding": L.embedding_init(ks[0], cfg.n_symbols,
+                                      cfg.symbols_embedding_dim, scale=val),
+        "embedding_sub": L.embedding_init(ks[1], cfg.sub_n_symbols,
+                                          cfg.symbols_embedding_dim,
+                                          scale=val),
+        "encoder": enc,
+        "encoder_sub": enc_sub,
+        "linear_converter": L.linear_init(
+            ks[4], cfg.encoder_embedding_dim + cfg.bert_embedding_dim,
+            cfg.encoder_embedding_dim),
+        "linear_converter_sub": L.linear_init(
+            ks[5], cfg.encoder_embedding_dim + cfg.bert_embedding_dim,
+            cfg.encoder_embedding_dim),
+        "decoder": _decoder_init(ks[7], cfg),
+        "postnet": post,
+    }
+    bn_state = {"encoder": enc_bn, "encoder_sub": enc_sub_bn,
+                "postnet": post_bn}
+    return params, bn_state
+
+
+# ---------------------------------------------------------------------------
+# Sub-module application
+# ---------------------------------------------------------------------------
+
+def encoder_apply(params, bn_state, x, lengths, *, training: bool, rng):
+    """x: [B, C, T] embedded inputs → ([B, T, C] outputs, new_bn_state).
+
+    Conv stack (relu + batchnorm + dropout 0.5) then length-exact BiLSTM
+    (reference model.py:97-114).
+    """
+    new_bn = []
+    mask = sequence_mask(lengths, x.shape[-1]) if lengths is not None else None
+    for i, layer in enumerate(params["convs"]):
+        y = L.conv1d_apply(layer["conv"], x)
+        y, bn_s = L.batchnorm_apply(layer["bn"], bn_state[i], y,
+                                    training=training)
+        y = jax.nn.relu(y)
+        if training:
+            rng, k = jax.random.split(rng)
+            y = L.dropout(k, y, 0.5)
+        new_bn.append(bn_s)
+        x = y
+    x = jnp.swapaxes(x, 1, 2)  # [B, T, C]
+    out = L.bilstm_apply(params["lstm"], x, lengths)
+    return out, new_bn
+
+
+def prenet_apply(params, x, rng, dropout_on: bool):
+    """2x (linear → relu → dropout 0.5).  Reference model.py:13-24 applies
+    dropout with training=True ALWAYS — replicated via dropout_on."""
+    for p in params:
+        x = jax.nn.relu(L.linear_apply(p, x))
+        if dropout_on:
+            rng, k = jax.random.split(rng)
+            x = L.dropout(k, x, 0.5)
+    return x
+
+
+def postnet_apply(params, bn_state, x, *, training: bool, rng):
+    """x: [B, n_mels, T] → residual [B, n_mels, T] (reference model.py:27-70):
+    5 convs, tanh on all but last, dropout 0.5 (training) on every layer."""
+    new_bn = []
+    n = len(params)
+    for i, layer in enumerate(params):
+        y = L.conv1d_apply(layer["conv"], x)
+        y, bn_s = L.batchnorm_apply(layer["bn"], bn_state[i], y,
+                                    training=training)
+        if i < n - 1:
+            y = jnp.tanh(y)
+        if training:
+            rng, k = jax.random.split(rng)
+            y = L.dropout(k, y, 0.5)
+        new_bn.append(bn_s)
+        x = y
+    return x, new_bn
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+class DecoderCarry(NamedTuple):
+    h_att: jnp.ndarray
+    c_att: jnp.ndarray
+    h_att_b: jnp.ndarray
+    c_att_b: jnp.ndarray
+    h_dec: jnp.ndarray
+    c_dec: jnp.ndarray
+    ctx: jnp.ndarray
+    ctx_b: jnp.ndarray
+    w: jnp.ndarray
+    w_cum: jnp.ndarray
+    w_b: jnp.ndarray
+    w_cum_b: jnp.ndarray
+    att_state: Dict[str, jnp.ndarray]
+    att_state_b: Dict[str, jnp.ndarray]
+    rng: jnp.ndarray
+
+
+def _decoder_carry_init(cfg: TacotronConfig, B: int, T_text: int, T_sub: int,
+                        rng, dtype=jnp.float32) -> DecoderCarry:
+    z = lambda *s: jnp.zeros(s, dtype)
+    return DecoderCarry(
+        h_att=z(B, cfg.attention_rnn_dim), c_att=z(B, cfg.attention_rnn_dim),
+        h_att_b=z(B, cfg.attention_rnn_dim),
+        c_att_b=z(B, cfg.attention_rnn_dim),
+        h_dec=z(B, cfg.decoder_rnn_dim), c_dec=z(B, cfg.decoder_rnn_dim),
+        ctx=z(B, cfg.encoder_embedding_dim),
+        ctx_b=z(B, cfg.encoder_embedding_dim),
+        w=z(B, T_text), w_cum=z(B, T_text),
+        w_b=z(B, T_sub), w_cum_b=z(B, T_sub),
+        att_state=A.init_state(cfg.attention, B, T_text),
+        att_state_b=A.init_state(cfg.attention, B, T_sub),
+        rng=rng,
+    )
+
+
+def _decode_step(dp, cfg: TacotronConfig, carry: DecoderCarry,
+                 pre_t, pre_b_t, memory, memory_b, proc_mem, proc_mem_b,
+                 mask, mask_b, training: bool):
+    """One decoder step (reference Decoder.decode, model.py:322-390).
+    pre_t/pre_b_t: [B, prenet_dim] prenet outputs for this frame.
+    Returns (new_carry, hidden_ctx [B, dec+2*embed], w, w_b)."""
+    rng = carry.rng
+    keys = jax.random.split(rng, 8)
+    new_rng, k_att, k_attc, k_attb, k_attbc, k_dec, k_noise, k_noise_b = keys
+
+    # attention LSTMs (one per stream), dropout on h AND c (reference
+    # model.py:340-346 drops both).
+    h_att, c_att = L.lstm_cell(dp["attention_rnn"],
+                               jnp.concatenate([pre_t, carry.ctx], -1),
+                               carry.h_att, carry.c_att)
+    h_att_b, c_att_b = L.lstm_cell(dp["attention_rnn_bert"],
+                                   jnp.concatenate([pre_b_t, carry.ctx_b], -1),
+                                   carry.h_att_b, carry.c_att_b)
+    if training:
+        h_att = L.dropout(k_att, h_att, cfg.p_attention_dropout)
+        c_att = L.dropout(k_attc, c_att, cfg.p_attention_dropout)
+        h_att_b = L.dropout(k_attb, h_att_b, cfg.p_attention_dropout)
+        c_att_b = L.dropout(k_attbc, c_att_b, cfg.p_attention_dropout)
+
+    w_cat = jnp.stack([carry.w, carry.w_cum], axis=1)
+    w_cat_b = jnp.stack([carry.w_b, carry.w_cum_b], axis=1)
+
+    ctx, w, att_state = A.attention_step(
+        cfg.attention, dp["attention"], h_att, memory, proc_mem, w_cat,
+        mask, carry.att_state, training=training, noise_key=k_noise)
+    ctx_b, w_b, att_state_b = A.attention_step(
+        cfg.attention, dp["attention_bert"], h_att_b, memory_b, proc_mem_b,
+        w_cat_b, mask_b, carry.att_state_b, training=training,
+        noise_key=k_noise_b)
+
+    w_cum = carry.w_cum + w
+    w_cum_b = carry.w_cum_b + w_b
+
+    dec_in = jnp.concatenate([h_att, ctx, h_att_b, ctx_b], -1)
+    h_dec, c_dec = L.lstm_cell(dp["decoder_rnn"], dec_in,
+                               carry.h_dec, carry.c_dec)
+    if training:
+        kd1, kd2 = jax.random.split(k_dec)
+        h_dec = L.dropout(kd1, h_dec, cfg.p_decoder_dropout)
+        c_dec = L.dropout(kd2, c_dec, cfg.p_decoder_dropout)
+
+    hidden_ctx = jnp.concatenate([h_dec, ctx, ctx_b], -1)
+
+    new_carry = DecoderCarry(
+        h_att=h_att, c_att=c_att, h_att_b=h_att_b, c_att_b=c_att_b,
+        h_dec=h_dec, c_dec=c_dec, ctx=ctx, ctx_b=ctx_b,
+        w=w, w_cum=w_cum, w_b=w_b, w_cum_b=w_cum_b,
+        att_state=att_state, att_state_b=att_state_b, rng=new_rng)
+    return new_carry, hidden_ctx, w, w_b
+
+
+def decoder_teacher_forced(dp, cfg: TacotronConfig, memory, memory_b, mels,
+                           text_lengths, sub_lengths, *, training: bool, rng):
+    """Teacher-forced decoding (reference Decoder.forward, model.py:392-428)
+    as one lax.scan.
+
+    memory: [B, T_text, D]; memory_b: [B, T_sub, D]; mels: [B, n_mels, T_out].
+    Returns (mel_outputs [B, n_mels, T_out], gate [B, T_out],
+             alignments [B, T_out, T_text], alignments_b [B, T_out, T_sub]).
+    """
+    B, _, T_out = mels.shape
+    rng, k_pre, k_pre_b, k_scan = jax.random.split(rng, 4)
+
+    # Teacher inputs: go frame + all-but-last target frames, then the prenet
+    # over the whole sequence in one batched matmul (hoisted out of the scan).
+    frames = jnp.swapaxes(mels, 1, 2)  # [B, T, n_mels]
+    teacher = jnp.concatenate(
+        [jnp.zeros((B, 1, cfg.n_mel_channels), mels.dtype),
+         frames[:, :-1]], axis=1)  # [B, T, n_mels]
+    dropout_on = cfg.prenet_dropout_always_on or training
+    pre = prenet_apply(dp["prenet"], teacher, k_pre, dropout_on)
+    pre_b = prenet_apply(dp["prenet_bert"], teacher, k_pre_b, dropout_on)
+
+    proc_mem = A.process_memory(dp["attention"], memory)
+    proc_mem_b = A.process_memory(dp["attention_bert"], memory_b)
+    mask = sequence_mask(text_lengths, memory.shape[1])
+    mask_b = sequence_mask(sub_lengths, memory_b.shape[1])
+
+    carry0 = _decoder_carry_init(cfg, B, memory.shape[1], memory_b.shape[1],
+                                 k_scan, memory.dtype)
+
+    def step(carry, xs):
+        pre_t, pre_b_t = xs
+        carry, hidden_ctx, w, w_b = _decode_step(
+            dp, cfg, carry, pre_t, pre_b_t, memory, memory_b,
+            proc_mem, proc_mem_b, mask, mask_b, training)
+        return carry, (hidden_ctx, w, w_b)
+
+    xs = (jnp.swapaxes(pre, 0, 1), jnp.swapaxes(pre_b, 0, 1))  # [T, B, .]
+    _, (hidden_ctx, ws, ws_b) = jax.lax.scan(step, carry0, xs)
+
+    # Mel/gate projections hoisted out of the scan: one big matmul each.
+    mel_out = L.linear_apply(dp["linear_projection"], hidden_ctx)  # [T, B, M]
+    gate_out = L.linear_apply(dp["gate_layer"], hidden_ctx)[..., 0]  # [T, B]
+
+    mel_outputs = jnp.transpose(mel_out, (1, 2, 0))        # [B, n_mels, T]
+    gate_outputs = jnp.swapaxes(gate_out, 0, 1)            # [B, T]
+    alignments = jnp.swapaxes(ws, 0, 1)                    # [B, T_out, T_text]
+    alignments_b = jnp.swapaxes(ws_b, 0, 1)
+    return mel_outputs, gate_outputs, alignments, alignments_b
+
+
+def decoder_infer(dp, cfg: TacotronConfig, memory, memory_b, *, rng,
+                  max_steps: Optional[int] = None,
+                  gate_threshold: Optional[float] = None,
+                  text_lengths=None, sub_lengths=None):
+    """Free-running decoding (reference Decoder.inference, model.py:430-492)
+    as a lax.while_loop with static buffers and per-sample gate stop.
+
+    Returns dict with mel [B, n_mels, S], gate [B, S], alignments, mel
+    lengths [B], and infer_ok [B] (False where max steps was hit — the
+    reference's INFER_FLAG).
+    """
+    S = int(max_steps or cfg.max_decoder_steps)
+    thresh = float(gate_threshold if gate_threshold is not None
+                   else cfg.gate_threshold)
+    B = memory.shape[0]
+    M = cfg.n_mel_channels
+
+    proc_mem = A.process_memory(dp["attention"], memory)
+    proc_mem_b = A.process_memory(dp["attention_bert"], memory_b)
+    mask = (sequence_mask(text_lengths, memory.shape[1])
+            if text_lengths is not None else None)
+    mask_b = (sequence_mask(sub_lengths, memory_b.shape[1])
+              if sub_lengths is not None else None)
+
+    rng, k_carry = jax.random.split(rng)
+    carry0 = _decoder_carry_init(cfg, B, memory.shape[1], memory_b.shape[1],
+                                 k_carry, memory.dtype)
+
+    bufs0 = {
+        "mel": jnp.zeros((S, B, M), memory.dtype),
+        "gate": jnp.full((S, B), GATE_PAD_VALUE, memory.dtype),
+        "align": jnp.zeros((S, B, memory.shape[1]), memory.dtype),
+        "align_b": jnp.zeros((S, B, memory_b.shape[1]), memory.dtype),
+    }
+    state0 = dict(step=jnp.array(0), finished=jnp.zeros(B, bool),
+                  lengths=jnp.zeros(B, jnp.int32),
+                  prev=jnp.zeros((B, M), memory.dtype),
+                  carry=carry0, bufs=bufs0, rng=rng)
+
+    def cond(s):
+        return (s["step"] < S) & ~jnp.all(s["finished"])
+
+    def body(s):
+        rng, k_pre, k_pre_b = jax.random.split(s["rng"], 3)
+        pre_t = prenet_apply(dp["prenet"], s["prev"], k_pre,
+                             cfg.prenet_dropout_always_on)
+        pre_b_t = prenet_apply(dp["prenet_bert"], s["prev"], k_pre_b,
+                               cfg.prenet_dropout_always_on)
+        carry, hidden_ctx, w, w_b = _decode_step(
+            dp, cfg, s["carry"], pre_t, pre_b_t, memory, memory_b,
+            proc_mem, proc_mem_b, mask, mask_b, training=False)
+        mel_t = L.linear_apply(dp["linear_projection"], hidden_ctx)
+        gate_t = L.linear_apply(dp["gate_layer"], hidden_ctx)[..., 0]
+
+        t = s["step"]
+        bufs = {
+            "mel": s["bufs"]["mel"].at[t].set(mel_t),
+            "gate": s["bufs"]["gate"].at[t].set(gate_t),
+            "align": s["bufs"]["align"].at[t].set(w),
+            "align_b": s["bufs"]["align_b"].at[t].set(w_b),
+        }
+        fired = jax.nn.sigmoid(gate_t) > thresh
+        newly_done = fired & ~s["finished"]
+        # stop frame is included (reference model.py:452-461)
+        lengths = jnp.where(newly_done, t + 1, s["lengths"])
+        finished = s["finished"] | fired
+        return dict(step=t + 1, finished=finished, lengths=lengths,
+                    prev=mel_t, carry=carry, bufs=bufs, rng=rng)
+
+    out = jax.lax.while_loop(cond, body, state0)
+    # samples that never fired ran to max steps (INFER_FLAG=False)
+    lengths = jnp.where(out["finished"], out["lengths"], out["step"])
+    infer_ok = out["finished"]
+
+    valid = sequence_mask(lengths, S)  # [B, S]
+    mel = jnp.transpose(out["bufs"]["mel"], (1, 2, 0)) * valid[:, None, :]
+    gate = jnp.swapaxes(out["bufs"]["gate"], 0, 1)
+    gate = jnp.where(valid, gate, GATE_PAD_VALUE)
+    return {
+        "mel": mel,
+        "gate": gate,
+        "alignments": jnp.swapaxes(out["bufs"]["align"], 0, 1) * valid[:, :, None],
+        "alignments_bert": jnp.swapaxes(out["bufs"]["align_b"], 0, 1) * valid[:, :, None],
+        "mel_lengths": lengths,
+        "infer_ok": infer_ok,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+def _encode_stream(params, bn_state, emb_table, conv_key, ids, lengths, cls,
+                   converter, *, training, rng):
+    """embedding → encoder → concat CLS → linear converter → memory."""
+    emb = emb_table[ids]                     # [B, T, 512]
+    emb = jnp.swapaxes(emb, 1, 2)            # [B, 512, T]
+    enc, new_bn = encoder_apply(params, bn_state, emb, lengths,
+                                training=training, rng=rng)
+    if cls.ndim == 2:
+        cls = jnp.broadcast_to(cls[:, None, :],
+                               (cls.shape[0], enc.shape[1], cls.shape[1]))
+    fused = jnp.concatenate([enc, cls.astype(enc.dtype)], axis=-1)
+    return L.linear_apply(converter, fused), new_bn
+
+
+def parse_output(mel, mel_postnet, gate, output_lengths, n_mel_channels,
+                 mask_padding=True):
+    """Zero padded mel frames and fill padded gate energies with 1e3
+    (reference model.py:531-541)."""
+    if not mask_padding or output_lengths is None:
+        return mel, mel_postnet, gate
+    valid = sequence_mask(output_lengths, mel.shape[-1])
+    mel = mel * valid[:, None, :]
+    mel_postnet = mel_postnet * valid[:, None, :]
+    gate = jnp.where(valid, gate, GATE_PAD_VALUE)
+    return mel, mel_postnet, gate
+
+
+def forward(params, bn_state, cfg: TacotronConfig, batch, *, training: bool,
+            rng):
+    """Teacher-forced forward pass (reference BERT_Tacotron2.forward,
+    model.py:543-560).
+
+    batch dict keys: text [B,T_text] int, text_lengths [B], sub [B,T_sub]
+    int, sub_lengths [B], mels [B,n_mels,T_out], output_lengths [B],
+    cls_phone [B,768] or [B,T_text,768], cls_sub [B,768] or [B,T_sub,768].
+
+    Returns (outputs dict, new_bn_state).
+    """
+    rng, k_enc, k_enc_b, k_dec, k_post = jax.random.split(rng, 5)
+
+    memory, bn_enc = _encode_stream(
+        params["encoder"], bn_state["encoder"], params["embedding"], None,
+        batch["text"], batch["text_lengths"], batch["cls_phone"],
+        params["linear_converter"], training=training, rng=k_enc)
+    memory_b, bn_enc_b = _encode_stream(
+        params["encoder_sub"], bn_state["encoder_sub"],
+        params["embedding_sub"], None, batch["sub"], batch["sub_lengths"],
+        batch["cls_sub"], params["linear_converter_sub"], training=training,
+        rng=k_enc_b)
+
+    mel, gate, align, align_b = decoder_teacher_forced(
+        params["decoder"], cfg, memory, memory_b, batch["mels"],
+        batch["text_lengths"], batch["sub_lengths"], training=training,
+        rng=k_dec)
+
+    residual, bn_post = postnet_apply(params["postnet"], bn_state["postnet"],
+                                      mel, training=training, rng=k_post)
+    mel_postnet = mel + residual
+
+    mel, mel_postnet, gate = parse_output(
+        mel, mel_postnet, gate, batch.get("output_lengths"),
+        cfg.n_mel_channels, cfg.mask_padding)
+
+    outputs = {"mel": mel, "mel_postnet": mel_postnet, "gate": gate,
+               "alignments": align, "alignments_bert": align_b}
+    new_bn = {"encoder": bn_enc, "encoder_sub": bn_enc_b, "postnet": bn_post}
+    return outputs, new_bn
+
+
+def infer(params, bn_state, cfg: TacotronConfig, text, sub, cls_phone,
+          cls_sub, *, rng, max_steps: Optional[int] = None,
+          gate_threshold: Optional[float] = None,
+          text_lengths=None, sub_lengths=None):
+    """Free-running inference (reference BERT_Tacotron2.inference,
+    model.py:562-582).  Accepts an optional batch with lengths for padded
+    batch inference (reference only supports B=1, unmasked)."""
+    rng, k_enc, k_enc_b, k_dec, k_post = jax.random.split(rng, 5)
+
+    memory, _ = _encode_stream(
+        params["encoder"], bn_state["encoder"], params["embedding"], None,
+        text, text_lengths, cls_phone, params["linear_converter"],
+        training=False, rng=k_enc)
+    memory_b, _ = _encode_stream(
+        params["encoder_sub"], bn_state["encoder_sub"],
+        params["embedding_sub"], None, sub, sub_lengths, cls_sub,
+        params["linear_converter_sub"], training=False, rng=k_enc_b)
+
+    out = decoder_infer(params["decoder"], cfg, memory, memory_b, rng=k_dec,
+                        max_steps=max_steps, gate_threshold=gate_threshold,
+                        text_lengths=text_lengths, sub_lengths=sub_lengths)
+
+    residual, _ = postnet_apply(params["postnet"], bn_state["postnet"],
+                                out["mel"], training=False, rng=k_post)
+    out["mel_postnet"] = out["mel"] + residual
+    valid = sequence_mask(out["mel_lengths"], out["mel"].shape[-1])
+    out["mel_postnet"] = out["mel_postnet"] * valid[:, None, :]
+    return out
