@@ -102,6 +102,71 @@ def conv1d_apply(p, x, stride: int = 1, padding: Optional[int] = None,
     return y.astype(x.dtype)
 
 
+# -- ConvTranspose1d --------------------------------------------------------
+
+def conv_transpose1d_init(key, in_ch: int, out_ch: int, kernel_size: int,
+                          stride: int, bias: bool = True):
+    """torch ConvTranspose1d-compatible params: w [in, out, k], torch default
+    init U(-1/sqrt(out_ch*k), ...) uses fan computed from (out_ch, k)."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(out_ch * kernel_size)
+    p = {"w": jax.random.uniform(kw, (in_ch, out_ch, kernel_size),
+                                 minval=-bound, maxval=bound)}
+    if bias:
+        p["b"] = jax.random.uniform(kb, (out_ch,), minval=-bound, maxval=bound)
+    return p
+
+
+def conv_transpose1d_apply(p, x, stride: int, padding: int = 0):
+    """x: [B, C_in, T] → [B, C_out, (T-1)*stride - 2*padding + k].
+
+    Exact torch semantics, expressed as an input-dilated convolution with a
+    spatially-flipped, channel-transposed kernel (what XLA lowers a
+    transposed conv to anyway).
+    """
+    w = p["w"]  # [in, out, k] torch layout
+    k = w.shape[-1]
+    w_conv = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # [out, in, k]
+    y = jax.lax.conv_general_dilated(
+        x, w_conv,
+        window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        y = y + p["b"][None, :, None]
+    return y.astype(x.dtype)
+
+
+# -- Weight norm ------------------------------------------------------------
+
+def weight_norm_init(key, shape, dim: int = 0, init_std: Optional[float] = None):
+    """Weight-norm parametrization w = g * v/||v|| with the norm over all
+    dims except ``dim`` (torch weight_norm default dim=0).  ``init_std``
+    draws v from N(0, std) (HiFi-GAN init_weights, reference
+    hifigan_utils.py:22-25); otherwise caller supplies v."""
+    v = jax.random.normal(key, shape) * (init_std or 0.01)
+    axes = tuple(i for i in range(len(shape)) if i != dim)
+    g = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
+    return {"v": v, "g": g}
+
+
+def weight_norm_weight(p, dim: int = 0):
+    v, g = p["v"], p["g"]
+    axes = tuple(i for i in range(v.ndim) if i != dim)
+    norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
+    return g * v / jnp.maximum(norm, 1e-12)
+
+
+def fuse_weight_norm(p, dim: int = 0):
+    """Collapse {v, g} into a direct weight (torch remove_weight_norm)."""
+    out = {k: v for k, v in p.items() if k not in ("v", "g")}
+    out["w"] = weight_norm_weight(p, dim)
+    return out
+
+
 # -- BatchNorm1d ------------------------------------------------------------
 
 def batchnorm_init(num_features: int):

@@ -1,0 +1,190 @@
+"""Vocoder tests: parity against the actual reference HiFi-GAN / WaveGlow
+torch modules (imported from /root/reference), invertibility, denoiser."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+
+class AttrDict(dict):
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.__dict__ = self
+
+
+SMALL_H = dict(
+    resblock="1",
+    upsample_rates=[4, 4], upsample_kernel_sizes=[8, 8],
+    upsample_initial_channel=32,
+    resblock_kernel_sizes=[3, 5], resblock_dilation_sizes=[[1, 2, 3], [1, 2, 3]],
+    num_mels=80, sampling_rate=22050,
+)
+
+
+@pytest.fixture(scope="module")
+def ref_hifigan():
+    sys.path.insert(0, REF)
+    try:
+        from hifigan_infer.hifigan_model import Generator
+    finally:
+        sys.path.remove(REF)
+    torch.manual_seed(0)
+    h = AttrDict(SMALL_H)
+    g = Generator(h).eval()
+    return g, h
+
+
+def _jax_h():
+    from tacotron2_subword_tpu.models.hifigan import HifiganConfig
+    return HifiganConfig(
+        resblock="1", upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 2, 3), (1, 2, 3)), num_mels=80)
+
+
+def test_hifigan_generator_matches_reference(ref_hifigan):
+    from tacotron2_subword_tpu.models import hifigan as HG
+    g, h = ref_hifigan
+    sd = {k: v.detach().numpy() for k, v in g.state_dict().items()}
+    params = HG.import_torch_generator(sd, _jax_h())
+
+    rng = np.random.RandomState(1)
+    mel = rng.randn(2, 80, 17).astype(np.float32)
+    with torch.no_grad():
+        ref = g(torch.from_numpy(mel)).numpy()
+    out = np.asarray(HG.generator_apply(params, _jax_h(), jnp.asarray(mel)))
+    assert out.shape == ref.shape == (2, 1, 17 * 16)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+    # fused (remove_weight_norm) form must agree with the reference's
+    g.remove_weight_norm()
+    with torch.no_grad():
+        ref_fused = g(torch.from_numpy(mel)).numpy()
+    fused = HG.fuse_generator(params)
+    out_fused = np.asarray(HG.generator_apply(fused, _jax_h(),
+                                              jnp.asarray(mel)))
+    np.testing.assert_allclose(out_fused, ref_fused, atol=2e-5, rtol=1e-4)
+
+
+def test_hifigan_init_and_losses():
+    from tacotron2_subword_tpu.models import hifigan as HG
+    h = _jax_h()
+    params = HG.init_generator(jax.random.PRNGKey(0), h)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 80, 9))
+    wav = HG.generator_apply(params, h, mel)
+    assert wav.shape == (2, 1, 9 * 16)
+    assert np.isfinite(np.asarray(wav)).all()
+    assert np.abs(np.asarray(wav)).max() <= 1.0  # tanh output
+
+    disc = HG.init_discriminators(jax.random.PRNGKey(2))
+    y = jax.random.normal(jax.random.PRNGKey(3), (2, 1, 144)) * 0.1
+    rs, gs, fr, fg = HG.discriminators_apply(disc, y, wav)
+    assert len(rs) == len(gs) == 8  # 5 periods + 3 scales
+    d_loss = HG.discriminator_loss(rs, gs)
+    g_loss = HG.generator_adv_loss(gs)
+    f_loss = HG.feature_loss(fr, fg)
+    for l in (d_loss, g_loss, f_loss):
+        assert np.isfinite(float(l))
+
+
+@pytest.fixture(scope="module")
+def ref_waveglow():
+    sys.path.insert(0, REF)
+    try:
+        import glow as ref_glow
+    finally:
+        sys.path.remove(REF)
+    torch.manual_seed(0)
+    wg = ref_glow.WaveGlow(
+        n_mel_channels=8, n_flows=4, n_group=4, n_early_every=2,
+        n_early_size=2,
+        WN_config=dict(n_layers=2, n_channels=16, kernel_size=3)).eval()
+    return wg
+
+
+def _wg_cfg():
+    from tacotron2_subword_tpu.models.waveglow import WaveGlowConfig
+    return WaveGlowConfig(n_mel_channels=8, n_flows=4, n_group=4,
+                          n_early_every=2, n_early_size=2, wn_layers=2,
+                          wn_channels=16, wn_kernel_size=3,
+                          upsample_kernel=1024, upsample_stride=256)
+
+
+def test_waveglow_forward_matches_reference(ref_waveglow):
+    from tacotron2_subword_tpu.models import waveglow as WG
+    cfg = _wg_cfg()
+    sd = {k: v.detach().numpy() for k, v in ref_waveglow.state_dict().items()}
+    params = WG.import_torch_waveglow(sd, cfg)
+
+    rng = np.random.RandomState(2)
+    F = 8
+    mel = rng.randn(2, 8, F).astype(np.float32)
+    audio = rng.randn(2, F * 256).astype(np.float32)
+    with torch.no_grad():
+        z_ref, log_s_ref, log_det_ref = ref_waveglow(
+            (torch.from_numpy(mel), torch.from_numpy(audio)))
+    z, log_s, log_det = WG.forward(params, cfg, jnp.asarray(mel),
+                                   jnp.asarray(audio))
+    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), atol=1e-4,
+                               rtol=1e-4)
+    for a, b in zip(log_s, log_s_ref):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=1e-4,
+                                   rtol=1e-4)
+    for a, b in zip(log_det, log_det_ref):
+        # det ~= 1 at init so logdet ~= 0: absolute tolerance, not relative
+        np.testing.assert_allclose(float(a), float(b), atol=5e-2)
+
+    # loss parity
+    sys.path.insert(0, REF)
+    try:
+        import glow as ref_glow
+    finally:
+        sys.path.remove(REF)
+    ref_loss = ref_glow.WaveGlowLoss(sigma=1.0)(
+        (z_ref, log_s_ref, log_det_ref)).item()
+    our_loss = float(WG.loss((z, log_s, log_det), sigma=1.0))
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=1e-3, atol=1e-4)
+
+
+def test_waveglow_infer_inverts_forward():
+    """infer(sigma→) must be the inverse of forward: push audio through
+    forward, reconstruct from z by the reverse flow."""
+    from tacotron2_subword_tpu.models import waveglow as WG
+    cfg = _wg_cfg()
+    params = WG.init_waveglow(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(3)
+    F = 8
+    mel = jnp.asarray(rng.randn(1, 8, F).astype(np.float32))
+    # infer with sigma=0: audio fully determined by the (zero) latents
+    audio = WG.infer(params, cfg, mel, sigma=0.0, key=jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(audio)).all()
+    # round trip: forward(infer output) must give z == 0
+    T = audio.shape[1]
+    n_frames_needed = T // 256
+    z, log_s, log_det = WG.forward(params, cfg, mel, audio)
+    np.testing.assert_allclose(np.asarray(z), 0.0, atol=1e-3)
+
+
+def test_denoiser_removes_bias():
+    from tacotron2_subword_tpu.models import denoiser as D
+    rng = np.random.RandomState(4)
+    bias_wave = np.sin(2 * np.pi * 100 * np.arange(8192) / 22050)
+    bias_wave = bias_wave.astype(np.float32) * 0.1
+
+    vocoder_fn = lambda mel: jnp.asarray(bias_wave[None, :])
+    bias_spec = D.compute_bias_spec(vocoder_fn, n_mel_channels=8)
+    assert bias_spec.shape == (1, 513, 1)
+
+    noisy = jnp.asarray((bias_wave + 0.0 * rng.randn(8192))[None, :])
+    den = D.denoise(noisy, bias_spec, strength=1.0)
+    # removing the bias at full strength must cut most of the energy
+    assert float(jnp.mean(den ** 2)) < 0.25 * float(jnp.mean(noisy ** 2))
