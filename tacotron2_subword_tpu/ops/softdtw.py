@@ -1,0 +1,291 @@
+"""Soft-DTW on TPU: anti-diagonal wavefront as lax.scan + a Pallas kernel.
+
+The reference implements batched soft-DTW as numba CUDA kernels — one block
+per pair, one thread per row, anti-diagonal wavefront with block sync per
+diagonal (reference soft_dtw_cuda.py:33-111), plus a numba CPU fallback and
+an autograd.Function wrapper (soft_dtw_cuda.py:114-270).  Semantics (He
+2017 / Cuturi-Blondel): R[i,j] = D[i,j] + softmin_gamma(R[i-1,j], R[i,j-1],
+R[i-1,j-1]) with optional Sakoe-Chiba bandwidth pruning, backward pass
+computing E = dLoss/dD by the reversed recursion.
+
+TPU design: the wavefront dependency (2L-1 sequential anti-diagonals) can't
+be parallelized over, but each diagonal is a vector op over (batch x rows).
+We therefore:
+ 1. *skew* the distance matrix so each anti-diagonal becomes a contiguous
+    column: Dskew[b, i, i+j] = D[b, i, j]; then
+ 2. scan over columns carrying the two previous diagonal vectors.
+
+``softdtw`` is the differentiable public op (custom_vjp; the backward is the
+same scan pattern reversed).  ``softdtw_pallas`` runs the forward as a
+Pallas kernel (grid over batch, diagonals in VMEM) — the direct analogue of
+the reference's CUDA kernel with the block-sync replaced by the sequential
+fori_loop a single core executes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF = 1e30
+
+
+def euclidean_dist_matrix(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared euclidean distances: x [B,N,D], y [B,M,D] →
+    [B,N,M] (reference soft_dtw_cuda.py:319-329)."""
+    x2 = jnp.sum(x * x, axis=-1)[:, :, None]
+    y2 = jnp.sum(y * y, axis=-1)[:, None, :]
+    xy = jnp.einsum("bnd,bmd->bnm", x, y, preferred_element_type=jnp.float32)
+    return jnp.maximum(x2 + y2 - 2 * xy, 0.0).astype(x.dtype)
+
+
+def _softmin3(a, b, c, gamma):
+    """-gamma * logsumexp(-[a,b,c]/gamma), numerically stable."""
+    r0, r1, r2 = -a / gamma, -b / gamma, -c / gamma
+    rmax = jnp.maximum(jnp.maximum(r0, r1), r2)
+    rsum = (jnp.exp(r0 - rmax) + jnp.exp(r1 - rmax) + jnp.exp(r2 - rmax))
+    return -gamma * (jnp.log(rsum) + rmax)
+
+
+def _band_mask(N: int, M: int, bandwidth: float) -> np.ndarray:
+    """True where |i-j| <= bandwidth (or everywhere when bandwidth<=0)."""
+    if bandwidth is None or bandwidth <= 0:
+        return np.ones((N, M), bool)
+    i = np.arange(1, N + 1)[:, None]
+    j = np.arange(1, M + 1)[None, :]
+    return np.abs(i - j) <= bandwidth
+
+
+def _forward_scan(D, gamma, bandwidth):
+    """Returns (final [B], R [B, N+1, M+1] interior alignment costs with
+    R[.,0,0]=0 edges +INF) via diagonal scan."""
+    B, N, M = D.shape
+    band = jnp.asarray(_band_mask(N, M, bandwidth))
+    Dm = jnp.where(band[None], D, INF)
+
+    n_passes = N + M - 1
+    # diagonal tensor: diag[p, b, i] = Dm[b, i, p-i] (else INF)
+    i_idx = np.arange(N)
+    diags = []
+    p_idx = np.arange(n_passes)
+    j_mat = p_idx[:, None] - i_idx[None, :]               # [P, N]
+    valid = (j_mat >= 0) & (j_mat < M)
+    j_cl = np.clip(j_mat, 0, M - 1)
+    diag_D = Dm[:, i_idx[None, :], j_cl]                  # [B, P, N]
+    diag_D = jnp.where(valid[None], diag_D, INF)
+    diag_D = jnp.swapaxes(diag_D, 0, 1)                   # [P, B, N]
+    valid_j = jnp.asarray(valid)
+
+    def shift_down(r):  # index i-1, with +INF at i=0
+        return jnp.pad(r[:, :-1], ((0, 0), (1, 0)), constant_values=INF)
+
+    def step(carry, xs):
+        r1, r2 = carry          # diagonals p-1, p-2: [B, N]
+        d_p, v_p, p = xs
+        up = r1                                   # (i, j-1)
+        down = shift_down(r1)                     # (i-1, j)
+        dd = shift_down(r2)                       # (i-1, j-1)
+        # boundary: cell (0, j) has predecessors (0, j-1) only via up;
+        # R edge values start at +INF except R[0,0]=0 handled by seeding.
+        i = jnp.arange(N)
+        # seed: for cell (0,0) (p=0, i=0) predecessors are R[0,0]=0 edge
+        is_origin = (p == 0) & (i[None, :] == 0)
+        dd = jnp.where(is_origin, 0.0, dd)
+        sm = _softmin3(down, up, dd, gamma)
+        r_new = d_p + sm
+        r_new = jnp.where(v_p[None], r_new, INF)
+        return (r_new, r1), r_new
+
+    r_init = jnp.full((B, N), INF, D.dtype)
+    xs = (diag_D, valid_j, jnp.arange(n_passes))
+    (_, _), r_diags = jax.lax.scan(step, (r_init, r_init), xs)  # [P, B, N]
+    final = r_diags[-1, :, N - 1]
+    return final, r_diags
+
+
+def _backward_scan(D, r_diags, gamma, bandwidth):
+    """E = dLoss/dD via the reversed wavefront (reference
+    soft_dtw_cuda.py:78-111), in the same diagonal layout."""
+    B, N, M = D.shape
+    n_passes = N + M - 1
+    band = jnp.asarray(_band_mask(N, M, bandwidth))
+
+    i_idx = np.arange(N)
+    p_idx = np.arange(n_passes)
+    j_mat = p_idx[:, None] - i_idx[None, :]
+    valid = jnp.asarray((j_mat >= 0) & (j_mat < M))
+
+    Dm = jnp.where(band[None], D, 0.0)
+    j_cl = np.clip(np.asarray(j_mat), 0, M - 1)
+    diag_D = jnp.swapaxes(jnp.where(valid[None], Dm[:, i_idx[None, :], j_cl],
+                                    0.0), 0, 1)           # [P, B, N]
+
+    R = jnp.where(jnp.isfinite(r_diags) & (jnp.abs(r_diags) < INF / 2),
+                  r_diags, -INF)                           # [P, B, N]
+    final = r_diags[-1, :, N - 1]                          # R[N,M]
+
+    def shift_up(e):  # index i+1, pad with 0
+        return jnp.pad(e[:, 1:], ((0, 0), (0, 1)))
+
+    def get_R(p, shift):
+        """R diagonal p, optionally shifted to index i+1; out-of-range → -INF."""
+        in_range = (p >= 0) & (p < n_passes)
+        r = jnp.where(in_range, R[jnp.clip(p, 0, n_passes - 1)], -INF)
+        if shift:
+            r = jnp.pad(r[:, 1:], ((0, 0), (0, 1)), constant_values=-INF)
+        return r
+
+    def get_D(p, shift):
+        in_range = (p >= 0) & (p < n_passes)
+        d = jnp.where(in_range, diag_D[jnp.clip(p, 0, n_passes - 1)], 0.0)
+        if shift:
+            d = jnp.pad(d[:, 1:], ((0, 0), (0, 1)))
+        return d
+
+    def step(carry, xs):
+        e1, e2 = carry     # E diagonals p+1, p+2: [B, N]
+        p = xs
+        r_p = get_R(p, False)
+        # successor terms (reference soft_dtw_cuda.py:105-108):
+        #  a: (i+1, j)   on diag p+1, row i+1
+        #  b: (i, j+1)   on diag p+1, row i
+        #  c: (i+1, j+1) on diag p+2, row i+1
+        ra = (get_R(p + 1, True) - r_p - get_D(p + 1, True)) / gamma
+        rb = (get_R(p + 1, False) - r_p - get_D(p + 1, False)) / gamma
+        rc = (get_R(p + 2, True) - r_p - get_D(p + 2, True)) / gamma
+        ea = shift_up(e1)
+        eb = e1
+        ec = shift_up(e2)
+        # the final cell (N-1, M-1) seeds E=1: its successor (i+1,j+1) in the
+        # padded reference grid carries E=1 with R[-1,-1]=R[N,M], D=0.
+        i = jnp.arange(N)
+        is_final = (p == n_passes - 1) & (i[None, :] == N - 1)
+        rc = jnp.where(is_final, (final[:, None] - r_p) / gamma, rc)
+        ec = jnp.where(is_final, 1.0, ec)
+        e_new = (ea * jnp.exp(ra) + eb * jnp.exp(rb) + ec * jnp.exp(rc))
+        valid_p = valid[jnp.clip(p, 0, n_passes - 1)]
+        e_new = jnp.where(valid_p[None], e_new, 0.0)
+        return (e_new, e1), e_new
+
+    e_init = jnp.zeros((B, N), D.dtype)
+    ps = jnp.arange(n_passes - 1, -1, -1)
+    (_, _), e_diags = jax.lax.scan(step, (e_init, e_init), ps)
+    # e_diags[k] is diagonal p = n_passes-1-k; scatter back to [B, N, M]
+    e_diags = e_diags[::-1]                                # [P, B, N]
+    j_mat_cl = np.clip(np.asarray(j_mat), 0, M - 1)
+    E = jnp.zeros((B, N, M), D.dtype)
+    p_ar = np.arange(n_passes)
+    E = E.at[:, i_idx[None, :], j_mat_cl].add(
+        jnp.swapaxes(jnp.where(valid[:, None, :], e_diags, 0.0), 0, 1))
+    return E
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def softdtw(D: jnp.ndarray, gamma: float = 1.0,
+            bandwidth: float = 0.0) -> jnp.ndarray:
+    """Batched soft-DTW value from a distance matrix D [B, N, M] → [B]."""
+    final, _ = _forward_scan(D, gamma, bandwidth)
+    return final
+
+
+def _softdtw_fwd(D, gamma, bandwidth):
+    final, r_diags = _forward_scan(D, gamma, bandwidth)
+    return final, (D, r_diags)
+
+
+def _softdtw_bwd(gamma, bandwidth, res, g):
+    D, r_diags = res
+    E = _backward_scan(D, r_diags, gamma, bandwidth)
+    return (g[:, None, None] * E,)
+
+
+softdtw.defvjp(_softdtw_fwd, _softdtw_bwd)
+
+
+def softdtw_distance(x: jnp.ndarray, y: jnp.ndarray, *, gamma: float = 1.0,
+                     bandwidth: float = 0.0,
+                     normalize: bool = False) -> jnp.ndarray:
+    """Soft-DTW between batched sequences x [B,N,D], y [B,M,D] (the
+    reference SoftDTW module API, soft_dtw_cuda.py:273-352)."""
+    if normalize:
+        d_xy = softdtw(euclidean_dist_matrix(x, y), gamma, bandwidth)
+        d_xx = softdtw(euclidean_dist_matrix(x, x), gamma, bandwidth)
+        d_yy = softdtw(euclidean_dist_matrix(y, y), gamma, bandwidth)
+        return d_xy - 0.5 * (d_xx + d_yy)
+    return softdtw(euclidean_dist_matrix(x, y), gamma, bandwidth)
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward kernel (diagonal-as-column skewed layout)
+# ---------------------------------------------------------------------------
+
+def _skew(D: jnp.ndarray) -> jnp.ndarray:
+    """[B, N, M] → [B, N, N+M-1] with Dskew[b,i,i+j] = D[b,i,j], INF
+    elsewhere — every anti-diagonal becomes a contiguous column."""
+    B, N, M = D.shape
+    P = N + M - 1
+    out = jnp.full((B, N, P), INF, D.dtype)
+    i = np.arange(N)[:, None]
+    j = np.arange(M)[None, :]
+    return out.at[:, i, i + j].set(D)
+
+
+def softdtw_pallas(D: jnp.ndarray, gamma: float = 1.0,
+                   bandwidth: float = 0.0,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Forward soft-DTW as a Pallas TPU kernel: grid over batch, skewed D in
+    VMEM, fori_loop over anti-diagonal columns with length-N vector ops —
+    the reference CUDA wavefront (soft_dtw_cuda.py:33-75) with
+    ``cuda.syncthreads`` replaced by the sequential column loop."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, M = D.shape
+    band = jnp.asarray(_band_mask(N, M, bandwidth)[None], D.dtype)
+    Dm = jnp.where(band > 0, D, INF)
+    # [B, P, Np]: each anti-diagonal is a lane-contiguous ROW, padded to the
+    # 128-lane boundary (Mosaic requires tile-aligned vectors).
+    Ds = jnp.swapaxes(_skew(Dm), 1, 2)
+    P = N + M - 1
+    Np = max(128, -(-N // 128) * 128)
+    Ds = jnp.pad(Ds, ((0, 0), (0, 0), (0, Np - N)), constant_values=INF)
+
+    def kernel(d_ref, out_ref):
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+
+        def shift(r):  # index i-1 along lanes, +INF fill at lane 0
+            return jnp.where(row == 0, INF, pltpu.roll(r, 1, axis=1))
+
+        def body(p, carry):
+            r1, r2 = carry
+            d_p = d_ref[0, p, :].reshape(1, Np)
+            down = shift(r1)
+            dd = shift(r2)
+            dd = jnp.where((p == 0) & (row == 0), 0.0, dd)
+            sm = _softmin3(down, r1, dd, gamma)
+            r_new = jnp.where(d_p >= INF / 2, INF, d_p + sm)
+            return (r_new, r1)
+
+        # derive the carry init from loaded data so Mosaic assigns it the
+        # same (non-replicated) layout as the loop body's output
+        r_init = d_ref[0, 0, :].reshape(1, Np) * 0.0 + INF
+        r_last, _ = jax.lax.fori_loop(0, P, body, (r_init, r_init))
+        out_ref[0] = r_last
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, P, Np), lambda b: (b, 0, 0),
+                               memory_space=pl.ANY if interpret else
+                               pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, Np), lambda b: (b, 0, 0),
+                               memory_space=pl.ANY if interpret else
+                               pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, Np), D.dtype),
+        interpret=interpret,
+    )(Ds)
+    return out[:, 0, N - 1]
