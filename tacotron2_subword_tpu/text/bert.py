@@ -1,0 +1,72 @@
+"""Subword tokenization + BERT [CLS] sentence embeddings (host-side).
+
+Mirrors the reference's get_embedding / get_embedding_cls
+(reference data_utils.py:15-46): a ``tokenizers.Tokenizer`` JSON file
+("vibert_{vocab}.json") produces subword token IDs with [CLS]/[SEP]
+stripped, and a HF BertModel forward produces the 768-d [CLS] vector that
+conditions both streams.
+
+This environment has no network egress, so model/tokenizer paths must be
+local; everything degrades gracefully (clear errors) when assets are
+absent.  The [CLS] extraction runs the HF model on CPU exactly as the
+reference does (inference.py:351-353).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+
+class SubwordTokenizer:
+    """tokenizers.Tokenizer wrapper: text → subword IDs without the
+    [CLS]/[SEP] specials (reference data_utils.py:15-26)."""
+
+    def __init__(self, tokenizer_json: str):
+        from tokenizers import Tokenizer
+        if not os.path.exists(tokenizer_json):
+            raise FileNotFoundError(tokenizer_json)
+        self.tokenizer = Tokenizer.from_file(tokenizer_json)
+
+    def encode(self, text: str) -> np.ndarray:
+        ids = self.tokenizer.encode(text).ids
+        # strip leading [CLS] / trailing [SEP] when the tokenizer adds them
+        specials = {self.tokenizer.token_to_id(t)
+                    for t in ("[CLS]", "[SEP]") if
+                    self.tokenizer.token_to_id(t) is not None}
+        ids = [i for i in ids if i not in specials]
+        return np.asarray(ids, dtype=np.int32)
+
+    @property
+    def vocab_size(self) -> int:
+        return self.tokenizer.get_vocab_size()
+
+
+class ClsEmbedder:
+    """HF BertModel [CLS]-vector extractor (reference data_utils.py:28-46).
+
+    ``model_path`` must be a local directory (no network in this image);
+    the reference uses bert-base-multilingual-cased.
+    """
+
+    def __init__(self, model_path: str):
+        import torch
+        from transformers import BertModel, BertTokenizer
+        self.torch = torch
+        self.tokenizer = BertTokenizer.from_pretrained(model_path)
+        self.model = BertModel.from_pretrained(model_path)
+        self.model.eval()
+
+    def embed_cls(self, text: str) -> np.ndarray:
+        inputs = self.tokenizer(text, return_tensors="pt", truncation=True,
+                                max_length=512)
+        with self.torch.no_grad():
+            out = self.model(**inputs)
+        return out.last_hidden_state[0, 0].numpy().astype(np.float32)
+
+
+def repeat_cls(cls_vec: np.ndarray, length: int) -> np.ndarray:
+    """CLS vector repeated per position (reference data_utils.py:77-78)."""
+    return np.repeat(cls_vec[None, :], length, axis=0)
