@@ -1,0 +1,230 @@
+"""Training CLI — the reference's train.py (reference train.py:188-439)
+rebuilt for TPU meshes.
+
+    python -m tacotron2_subword_tpu.apps.train -o outdir -l logdir \
+        --train-list data/preprocess/train.txt --val-list .../val.txt \
+        --mel-dir ... --sub-dir ... --cls-dir ... [--hparams "[k:v-k:v]"]
+
+Differences from the reference, by design:
+ - no subprocess launcher / NCCL init: data parallelism is a jit over a
+   ``jax.sharding.Mesh`` (params replicated, batch sharded; XLA emits the
+   gradient all-reduce) — reference distributed.py:132-200 disappears;
+ - the lossy sqrt(B) sub-batch collate (reference data_utils.py:146-160) is
+   replaced by length-bucketed static shapes (nothing dropped);
+ - checkpoints are Orbax dirs with the same naming/auto-resume/best
+   semantics (reference train.py:86-123,182-186,244-263,366-368);
+ - an explicit --checkpoint path wins over auto-scan (the reference's scan
+   overwrites it, train.py:248 — documented fix).
+
+``--synthetic N`` trains on generated data (shape-compatible with the real
+pipeline) for smoke/perf runs without a dataset on disk.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tacotron2_subword_tpu.config import TacotronConfig, create_config
+from tacotron2_subword_tpu import train_lib as T
+from tacotron2_subword_tpu.data import BertTacotron2Dataset, BucketedLoader
+from tacotron2_subword_tpu.data.dataset import load_filepaths
+from tacotron2_subword_tpu.parallel import mesh as PM
+from tacotron2_subword_tpu.utils import checkpoint as CK
+from tacotron2_subword_tpu.utils.logging_utils import Tacotron2Logger
+
+
+class SyntheticDataset:
+    """Shape-compatible synthetic dataset for smoke and perf runs."""
+
+    def __init__(self, cfg: TacotronConfig, n: int = 64, seed: int = 0):
+        self.cfg = cfg
+        self.n = n
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.RandomState(self.seed * 100003 + i)
+        T_text = rng.randint(20, 60)
+        T_mel = rng.randint(80, 240)
+        return {
+            "text": rng.randint(0, self.cfg.n_symbols, T_text
+                                ).astype(np.int32),
+            "sub": rng.randint(0, self.cfg.sub_n_symbols,
+                               rng.randint(8, 24)).astype(np.int32),
+            "cls": rng.randn(self.cfg.bert_embedding_dim
+                             ).astype(np.float32),
+            "mel": rng.randn(self.cfg.n_mel_channels, T_mel
+                             ).astype(np.float32),
+            "durations": np.ones(T_text, np.int32),
+        }
+
+
+def device_batch(batch: Dict[str, np.ndarray], mesh) -> Dict[str, jnp.ndarray]:
+    sharding = PM.batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        out[k] = jax.device_put(jnp.asarray(v), sharding)
+    return out
+
+
+def validate(state, loader, cfg, mesh, eval_fn, rng) -> float:
+    losses, n = 0.0, 0
+    last = None
+    for batch in loader:
+        db = device_batch(batch, mesh)
+        metrics, outputs = eval_fn(state, db, rng)
+        w = float(np.sum(batch["weight"]))
+        losses += float(metrics["total"]) * w
+        n += w
+        last = (outputs, db)
+    return (losses / max(n, 1)), last
+
+
+def train(args) -> None:
+    cfg = create_config(hparams_string=args.hparams)
+    if args.batch_size:
+        cfg = cfg.replace(batch_size=args.batch_size)
+
+    os.makedirs(args.output_directory, exist_ok=True)
+    mesh = PM.make_mesh()
+    n_dev = mesh.devices.size
+    global_batch = cfg.batch_size * n_dev
+
+    if args.synthetic:
+        train_ds = SyntheticDataset(cfg, args.synthetic, seed=1)
+        val_ds = SyntheticDataset(cfg, max(8, args.synthetic // 8), seed=2)
+    else:
+        train_rows = load_filepaths(args.train_list)
+        val_rows = load_filepaths(args.val_list)
+        train_ds = BertTacotron2Dataset(train_rows, args.mel_dir,
+                                        args.sub_dir, args.cls_dir,
+                                        load_alignment=bool(cfg.align_loss))
+        val_ds = BertTacotron2Dataset(val_rows, args.val_mel_dir or
+                                      args.mel_dir, args.sub_dir,
+                                      args.cls_dir,
+                                      load_alignment=bool(cfg.align_loss))
+
+    loader_kw = dict(batch_size=global_batch,
+                     shard_index=jax.process_index(),
+                     num_shards=jax.process_count(),
+                     with_alignment=bool(cfg.align_loss))
+    train_loader = BucketedLoader(train_ds, seed=cfg.seed, **loader_kw)
+
+    state, tx = T.create_train_state(jax.random.PRNGKey(cfg.seed), cfg)
+    learning_rate = cfg.learning_rate
+
+    # resume / warm start (reference train.py:244-263)
+    start_iter = 0
+    ckpt_path = args.checkpoint or CK.scan_checkpoint(args.output_directory)
+    if ckpt_path and not args.warm_start:
+        state, meta = CK.load_checkpoint(ckpt_path, state)
+        start_iter = int(state.step)
+        if cfg.use_saved_learning_rate and "learning_rate" in meta:
+            learning_rate = meta["learning_rate"]
+        print(f"resumed from {ckpt_path} at iteration {start_iter}")
+    elif ckpt_path and args.warm_start:
+        state = CK.warm_start(ckpt_path, state, cfg.ignore_layers)
+        print(f"warm-started from {ckpt_path}")
+
+    state = PM.shard_train_state(state, mesh)
+    step_fn = PM.make_parallel_train_step(cfg, tx, mesh)
+    eval_fn = jax.jit(
+        lambda s, b, r: T.eval_step(s, b, r, cfg),
+        in_shardings=(PM.replicate_sharding(mesh), PM.batch_sharding(mesh),
+                      PM.replicate_sharding(mesh)),
+    )
+
+    logger = Tacotron2Logger(args.log_directory) if args.log_directory \
+        else None
+    best = CK.BestTracker(args.output_directory)
+    rng = jax.random.PRNGKey(cfg.seed + jax.process_index())
+    iteration = start_iter
+
+    print(f"training: {n_dev} devices, global batch {global_batch}, "
+          f"{len(train_ds)} utterances")
+    for epoch in range(cfg.epochs):
+        for batch in train_loader:
+            t0 = time.perf_counter()
+            rng, step_key = jax.random.split(rng)
+            step_key = jax.device_put(step_key, PM.replicate_sharding(mesh))
+            db = device_batch(batch, mesh)
+            state, metrics = step_fn(state, db, step_key)
+            total = float(metrics["total"])  # host sync
+            dt = time.perf_counter() - t0
+            iteration += 1
+            if iteration % args.log_interval == 0:
+                print(f"epoch {epoch} iter {iteration}: loss {total:.4f} "
+                      f"grad_norm {float(metrics['grad_norm']):.3f} "
+                      f"{dt:.2f}s/it", flush=True)
+                if logger:
+                    logger.log_training(metrics, learning_rate, dt,
+                                        iteration)
+
+            if iteration % cfg.iters_per_checkpoint == 0:
+                rng, vkey = jax.random.split(rng)
+                val_loader = BucketedLoader(val_ds, seed=cfg.seed,
+                                            **loader_kw)
+                val_loss, last = validate(state, val_loader, cfg, mesh,
+                                          eval_fn, vkey)
+                print(f"validation loss {val_loss:.4f}", flush=True)
+                if jax.process_index() == 0:
+                    CK.save_checkpoint(state, args.output_directory,
+                                       val_loss=val_loss,
+                                       learning_rate=learning_rate)
+                    if best.update(state, val_loss, learning_rate):
+                        print(f"new best val loss {val_loss:.4f}")
+                    if logger and last is not None:
+                        logger.log_validation(val_loss, state.params,
+                                              last[0], last[1], iteration)
+            if args.max_iters and iteration >= args.max_iters:
+                print("reached max iters")
+                return
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-o", "--output_directory", required=True)
+    p.add_argument("-l", "--log_directory", default=None)
+    p.add_argument("-c", "--checkpoint", default=None,
+                   help="explicit checkpoint to resume from (wins over "
+                        "auto-scan)")
+    p.add_argument("--warm_start", action="store_true")
+    p.add_argument("--hparams", default=None,
+                   help='reference-style "[k:v-k:v]" overrides')
+    p.add_argument("--train-list", default=None)
+    p.add_argument("--val-list", default=None)
+    p.add_argument("--mel-dir", default=None)
+    p.add_argument("--val-mel-dir", default=None)
+    p.add_argument("--sub-dir", default=None)
+    p.add_argument("--cls-dir", default=None)
+    p.add_argument("--tokenizer_vocab", type=int, default=None,
+                   help="subword vocab size (sets sub_n_symbols)")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic utterances (smoke/perf)")
+    p.add_argument("--max-iters", type=int, default=0)
+    p.add_argument("--log-interval", type=int, default=1)
+    return p
+
+
+def main():
+    from tacotron2_subword_tpu.utils.platform import enable_compilation_cache
+    enable_compilation_cache()
+    args = build_argparser().parse_args()
+    if args.tokenizer_vocab:
+        extra = f"[sub_n_symbols:{args.tokenizer_vocab}-]"
+        args.hparams = args.hparams or extra
+    train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""HiFi-GAN training / GTA fine-tuning CLI.
+
+The reference ships HiFi-GAN inference-only but carries the full
+discriminator + GAN loss stack in-tree (reference
+hifigan_infer/hifigan_model.py:127-281) for fine-tuning elsewhere; this CLI
+completes the loop: generator + MPD/MSD adversarial training with feature
+matching and 45x mel L1 (the standard HiFi-GAN recipe) over (mel, audio)
+segment pairs — either ground-truth mels or GTA mels from apps.gta (the
+"WaveGlow vocoder fine-tune on GTA mels" north-star config, with HiFi-GAN
+as the primary vocoder).
+
+    python -m tacotron2_subword_tpu.apps.train_hifigan -o outdir \
+        --wav-dir data/wav [--mel-dir gta_mels] [--config config_v1.json] \
+        [--synthetic N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tacotron2_subword_tpu.models import hifigan as HG
+from tacotron2_subword_tpu.ops import stft as S
+from tacotron2_subword_tpu.parallel import mesh as PM
+
+SEGMENT = 8192  # reference hifigan_infer/config_v1.json segment_size
+
+
+class SegmentSampler:
+    """(mel, audio) segment pairs; mel from --mel-dir (GTA) when given,
+    otherwise computed from the wav."""
+
+    def __init__(self, wav_paths: List[str], mel_dir: Optional[str],
+                 hop: int = 256, segment: int = SEGMENT, seed: int = 0):
+        from scipy.io.wavfile import read
+        self.entries = []
+        for p in wav_paths:
+            _, data = read(p)
+            wav = np.clip(data.astype(np.float32) / 32768.0, -1, 1)
+            if len(wav) < segment + hop:
+                continue
+            mel = None
+            if mel_dir:
+                mp = os.path.join(
+                    mel_dir,
+                    os.path.splitext(os.path.basename(p))[0] + ".npy")
+                if os.path.exists(mp):
+                    mel = np.load(mp)
+            self.entries.append((wav, mel))
+        self.hop = hop
+        self.segment = segment
+        self.frames = segment // hop
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.entries)
+
+    def sample_batch(self, batch_size: int):
+        audio = np.empty((batch_size, self.segment), np.float32)
+        mels = []
+        for i in range(batch_size):
+            wav, mel = self.entries[self.rng.randint(len(self.entries))]
+            if mel is not None:
+                f0 = self.rng.randint(0, mel.shape[1] - self.frames + 1)
+                mels.append(mel[:, f0:f0 + self.frames])
+                audio[i] = wav[f0 * self.hop:f0 * self.hop + self.segment]
+            else:
+                s0 = self.rng.randint(0, len(wav) - self.segment + 1)
+                audio[i] = wav[s0:s0 + self.segment]
+                mels.append(None)
+        if mels[0] is None:
+            mel_batch = np.asarray(S.mel_spectrogram(
+                jnp.asarray(audio)))[:, :, :self.frames]
+        else:
+            mel_batch = np.stack(mels)
+        return mel_batch, audio
+
+
+class SyntheticSegments:
+    def __init__(self, n: int = 8, segment: int = SEGMENT, seed: int = 0):
+        rng = np.random.RandomState(seed)
+        t = np.arange(segment * 2) / 22050.0
+        self.entries = [((0.3 * np.sin(2 * np.pi * rng.uniform(80, 500) * t)
+                          + 0.02 * rng.randn(len(t))).astype(np.float32),
+                         None) for _ in range(n)]
+        self.hop, self.segment, self.frames = 256, segment, segment // 256
+        self.rng = rng
+
+    __len__ = SegmentSampler.__len__
+    sample_batch = SegmentSampler.sample_batch
+
+
+def train(args) -> None:
+    h = (HG.HifiganConfig.from_json(args.config) if args.config
+         else HG.HifiganConfig())
+    os.makedirs(args.output_directory, exist_ok=True)
+    mesh = PM.make_mesh()
+    n_dev = mesh.devices.size
+
+    if args.synthetic:
+        ds = SyntheticSegments(args.synthetic)
+    else:
+        ds = SegmentSampler(sorted(glob.glob(
+            os.path.join(args.wav_dir, "*.wav"))), args.mel_dir)
+    print(f"hifigan training: {len(ds)} clips, {n_dev} devices")
+
+    kg, kd = jax.random.split(jax.random.PRNGKey(args.seed))
+    gen = HG.init_generator(kg, h)
+    disc = HG.init_discriminators(kd)
+    tx_g = optax.adam(args.lr, b1=0.8, b2=0.99)
+    tx_d = optax.adam(args.lr, b1=0.8, b2=0.99)
+    opt_g, opt_d = tx_g.init(gen), tx_d.init(disc)
+
+    rep = PM.replicate_sharding(mesh)
+    data = PM.batch_sharding(mesh)
+    gen, disc = jax.device_put(gen, rep), jax.device_put(disc, rep)
+    opt_g, opt_d = jax.device_put(opt_g, rep), jax.device_put(opt_d, rep)
+
+    def d_loss_fn(disc_p, gen_p, mel, audio):
+        y_hat = HG.generator_apply(gen_p, h, mel)
+        y = audio[:, None, :]
+        rs, gs, _, _ = HG.discriminators_apply(
+            disc_p, y, jax.lax.stop_gradient(y_hat))
+        return HG.discriminator_loss(rs, gs)
+
+    def g_loss_fn(gen_p, disc_p, mel, audio):
+        y_hat = HG.generator_apply(gen_p, h, mel)
+        y = audio[:, None, :]
+        rs, gs, fr, fg = HG.discriminators_apply(disc_p, y, y_hat)
+        mel_hat = S.mel_spectrogram(y_hat[:, 0, :])
+        mel_y = S.mel_spectrogram(audio)
+        n = min(mel_hat.shape[-1], mel_y.shape[-1])
+        loss_mel = jnp.mean(jnp.abs(mel_hat[..., :n] - mel_y[..., :n]))
+        total = (HG.generator_adv_loss(gs) + HG.feature_loss(fr, fg)
+                 + 45.0 * loss_mel)
+        return total, loss_mel
+
+    def step_impl(gen_p, disc_p, og, od, mel, audio):
+        dl, dgrads = jax.value_and_grad(d_loss_fn)(disc_p, gen_p, mel,
+                                                   audio)
+        dupd, od = tx_d.update(dgrads, od, disc_p)
+        disc_p = optax.apply_updates(disc_p, dupd)
+        (gl, lmel), ggrads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            gen_p, disc_p, mel, audio)
+        gupd, og = tx_g.update(ggrads, og, gen_p)
+        gen_p = optax.apply_updates(gen_p, gupd)
+        return gen_p, disc_p, og, od, dl, gl, lmel
+
+    step = jax.jit(step_impl,
+                   in_shardings=(rep, rep, rep, rep, data, data),
+                   out_shardings=(rep,) * 7,
+                   donate_argnums=(0, 1, 2, 3))
+
+    B = args.batch_size * n_dev
+    for it in range(1, args.iters + 1):
+        t0 = time.perf_counter()
+        mel, audio = ds.sample_batch(B)
+        mel = jax.device_put(jnp.asarray(mel), data)
+        audio = jax.device_put(jnp.asarray(audio), data)
+        gen, disc, opt_g, opt_d, dl, gl, lmel = step(gen, disc, opt_g,
+                                                     opt_d, mel, audio)
+        print(f"iter {it}: d {float(dl):.3f} g {float(gl):.3f} "
+              f"mel {float(lmel):.3f} {time.perf_counter() - t0:.2f}s/it",
+              flush=True)
+        if it % args.iters_per_checkpoint == 0 and jax.process_index() == 0:
+            import orbax.checkpoint as ocp
+            path = os.path.join(os.path.abspath(args.output_directory),
+                                f"g_{it:08d}")
+            ocp.PyTreeCheckpointer().save(
+                path, jax.tree_util.tree_map(np.asarray, gen), force=True)
+            print(f"saved {path}")
+
+
+def main():
+    from tacotron2_subword_tpu.utils.platform import \
+        enable_compilation_cache
+    enable_compilation_cache()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-o", "--output_directory", required=True)
+    p.add_argument("--wav-dir", default=None)
+    p.add_argument("--mel-dir", default=None,
+                   help="GTA mels from apps.gta (else GT mels from wavs)")
+    p.add_argument("--config", default=None)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--iters", type=int, default=1000)
+    p.add_argument("--iters-per-checkpoint", type=int, default=200)
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--seed", type=int, default=1234)
+    train(p.parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -259,16 +259,14 @@ def init_period_discriminator(key, period: int):
     ks = jax.random.split(key, 6)
     chans = [(1, 32), (32, 128), (128, 512), (512, 1024), (1024, 1024)]
     return {
-        "period": period,
         "convs": [_wn_conv2d_init(ks[i], cin, cout, 5, 1)
                   for i, (cin, cout) in enumerate(chans)],
         "conv_post": _wn_conv2d_init(ks[5], 1024, 1, 3, 1),
     }
 
 
-def period_discriminator_apply(p, x):
+def period_discriminator_apply(p, x, period: int):
     """x [B, 1, T] → (logits [B, n], feature maps)."""
-    period = p["period"]
     B, C, T = x.shape
     if T % period != 0:
         pad = period - (T % period)
@@ -286,17 +284,21 @@ def period_discriminator_apply(p, x):
     return x.reshape(B, -1), fmap
 
 
+# (in_ch, out_ch, kernel, stride, groups, padding) per layer — reference
+# hifigan_model.py:194-203
+SCALE_DISC_SPEC = ((1, 128, 15, 1, 1, 7), (128, 128, 41, 2, 4, 20),
+                   (128, 256, 41, 2, 16, 20), (256, 512, 41, 4, 16, 20),
+                   (512, 1024, 41, 4, 16, 20), (1024, 1024, 41, 1, 16, 20),
+                   (1024, 1024, 5, 1, 1, 2))
+
+
 def init_scale_discriminator(key):
     ks = jax.random.split(key, 8)
-    spec = [(1, 128, 15, 1, 1, 7), (128, 128, 41, 2, 4, 20),
-            (128, 256, 41, 2, 16, 20), (256, 512, 41, 4, 16, 20),
-            (512, 1024, 41, 4, 16, 20), (1024, 1024, 41, 1, 16, 20),
-            (1024, 1024, 5, 1, 1, 2)]
     convs = []
-    for i, (cin, cout, k, s, g, pad) in enumerate(spec):
+    for i, (cin, cout, k, s, g, pad) in enumerate(SCALE_DISC_SPEC):
         p = L.weight_norm_init(ks[i], (cout, cin // g, k), init_std=0.01)
         p["b"] = jnp.zeros(cout)
-        convs.append({**p, "stride": s, "groups": g, "pad": pad})
+        convs.append(p)
     post = L.weight_norm_init(ks[7], (1, 1024, 3), init_std=0.01)
     post["b"] = jnp.zeros(1)
     return {"convs": convs, "conv_post": post}
@@ -304,10 +306,10 @@ def init_scale_discriminator(key):
 
 def scale_discriminator_apply(p, x):
     fmap = []
-    for c in p["convs"]:
+    for c, (_, _, _, stride, groups, pad) in zip(p["convs"],
+                                                 SCALE_DISC_SPEC):
         q = {"w": _conv_w(c), "b": c["b"]}
-        x = L.conv1d_apply(q, x, stride=c["stride"], padding=c["pad"],
-                           groups=c["groups"])
+        x = L.conv1d_apply(q, x, stride=stride, padding=pad, groups=groups)
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
     q = {"w": _conv_w(p["conv_post"]), "b": p["conv_post"]["b"]}
@@ -338,9 +340,9 @@ def discriminators_apply(params, y, y_hat):
     """Returns (real_logits, gen_logits, real_fmaps, gen_fmaps) across
     MPD + MSD (reference hifigan_model.py:174-247)."""
     rs, gs, fr, fg = [], [], [], []
-    for p in params["mpd"]:
-        r, fm_r = period_discriminator_apply(p, y)
-        g, fm_g = period_discriminator_apply(p, y_hat)
+    for p, period in zip(params["mpd"], PERIODS):
+        r, fm_r = period_discriminator_apply(p, y, period)
+        g, fm_g = period_discriminator_apply(p, y_hat, period)
         rs.append(r); gs.append(g); fr.append(fm_r); fg.append(fm_g)
     yy, yh = y, y_hat
     for i, p in enumerate(params["msd"]):
