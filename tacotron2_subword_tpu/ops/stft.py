@@ -238,6 +238,39 @@ def mel_spectrogram(y: jnp.ndarray, sampling_rate: int = 22050,
     return dynamic_range_compression(mel)
 
 
+def hifigan_mel_spectrogram(y: jnp.ndarray, n_fft: int = 1024,
+                            num_mels: int = 80, sampling_rate: int = 22050,
+                            hop_size: int = 256, win_size: int = 1024,
+                            fmin: float = 0.0, fmax: float = 8000.0,
+                            peak_normalize: bool = True) -> jnp.ndarray:
+    """The reference's alternative HiFi-GAN-style mel path (reference
+    utils.py:55-80): peak-normalize * 0.95, reflect pad (n_fft-hop)/2,
+    center=False torch.stft, sqrt(|.|^2 + 1e-9) magnitude, mel + log clip.
+
+    Differs from ``mel_spectrogram`` (the TacotronSTFT path) in padding
+    amount, frame count, and the +1e-9 magnitude floor.  y: [B, T]."""
+    if peak_normalize:
+        peak = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+        y = y / jnp.maximum(peak, 1e-9) * 0.95
+    pad = (n_fft - hop_size) // 2
+    ypad = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = (ypad.shape[1] - n_fft) // hop_size + 1
+    idx = (np.arange(n_frames)[:, None] * hop_size
+           + np.arange(n_fft)[None, :])
+    frames = ypad[:, idx]
+    fwd, _ = stft_bases(n_fft, hop_size, win_size)
+    spec = jnp.einsum("bfn,kn->bkf", frames, jnp.asarray(fwd),
+                      preferred_element_type=jnp.float32)
+    cutoff = n_fft // 2 + 1
+    real, imag = spec[:, :cutoff], spec[:, cutoff:]
+    mag = jnp.sqrt(real * real + imag * imag + 1e-9)
+    fb = jnp.asarray(mel_filterbank(sampling_rate, n_fft, num_mels, fmin,
+                                    fmax))
+    return dynamic_range_compression(
+        jnp.einsum("mk,bkf->bmf", fb, mag,
+                   preferred_element_type=jnp.float32))
+
+
 def griffin_lim(magnitudes: jnp.ndarray, filter_length: int, hop_length: int,
                 win_length: int, n_iters: int = 30,
                 key: jax.Array | None = None) -> jnp.ndarray:

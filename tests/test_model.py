@@ -23,14 +23,20 @@ SMALL = TacotronConfig(
 
 def make_batch(cfg, B=3, T_text=11, T_sub=7, T_out=13, seed=0):
     rng = np.random.RandomState(seed)
+
+    def lengths(T, drops):
+        # first sample full length; the rest progressively shorter
+        out = [T] + [max(2, T - d) for d in drops]
+        return jnp.asarray((out * B)[:B])
+
     return {
         "text": jnp.asarray(rng.randint(0, cfg.n_symbols, (B, T_text))),
-        "text_lengths": jnp.asarray([T_text, T_text - 3, T_text - 5]),
+        "text_lengths": lengths(T_text, [3, 5]),
         "sub": jnp.asarray(rng.randint(0, cfg.sub_n_symbols, (B, T_sub))),
-        "sub_lengths": jnp.asarray([T_sub, T_sub - 2, T_sub - 3]),
+        "sub_lengths": lengths(T_sub, [2, 3]),
         "mels": jnp.asarray(rng.randn(B, cfg.n_mel_channels, T_out)
                             .astype(np.float32)),
-        "output_lengths": jnp.asarray([T_out, T_out - 4, T_out - 6]),
+        "output_lengths": lengths(T_out, [4, 6]),
         "cls_phone": jnp.asarray(rng.randn(B, cfg.bert_embedding_dim)
                                  .astype(np.float32)),
         "cls_sub": jnp.asarray(rng.randn(B, cfg.bert_embedding_dim)

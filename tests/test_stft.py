@@ -127,3 +127,27 @@ def test_griffin_lim_reduces_spectral_error(wave):
     n = min(m1.shape[-1], m2.shape[-1])
     rel = np.abs(m1[..., 2:n - 2] - m2[..., 2:n - 2]).mean() / m1.mean()
     assert rel < 0.35  # phase-recovered spectrum close to target
+
+
+def test_hifigan_mel_matches_torch_stft(wave):
+    """The alternative HiFi-GAN-style mel path must match the reference's
+    torch.stft formulation (reference utils.py:55-80)."""
+    torch = pytest.importorskip("torch")
+    y = wave[:1] / np.abs(wave[:1]).max() * 0.95
+    yt = torch.from_numpy(y)
+    n_fft, hop, win = 1024, 256, 1024
+    pad = (n_fft - hop) // 2
+    ypad = torch.nn.functional.pad(yt.unsqueeze(1), (pad, pad),
+                                   mode="reflect").squeeze(1)
+    spec = torch.stft(ypad, n_fft, hop_length=hop, win_length=win,
+                      window=torch.hann_window(win), center=False,
+                      normalized=False, onesided=True, return_complex=True)
+    mag = torch.sqrt(spec.real ** 2 + spec.imag ** 2 + 1e-9)
+    fb = torch.from_numpy(tstft.mel_filterbank(22050, n_fft, 80, 0.0,
+                                               8000.0))
+    ref = torch.log(torch.clamp(fb @ mag, min=1e-5)).numpy()
+
+    out = np.asarray(tstft.hifigan_mel_spectrogram(
+        jnp.asarray(wave[:1]), peak_normalize=True))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-3)
