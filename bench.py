@@ -71,10 +71,10 @@ def main():
     except (ValueError, IndexError):
         cpu_rate = float("nan")
 
-    tpu_rate = run("axon", batch=8, steps=200)
+    tpu_rate = run("axon", batch=128, steps=200)
     vs = tpu_rate / cpu_rate if np.isfinite(cpu_rate) else float("nan")
     print(json.dumps({
-        "metric": "mel audio-seconds synthesized/sec/chip (B=8 batched inference)",
+        "metric": "mel audio-seconds synthesized/sec/chip (B=128 batched inference, bf16 decoder)",
         "value": round(tpu_rate, 3),
         "unit": "audio_sec/s",
         "vs_baseline": round(vs, 3) if np.isfinite(vs) else None,

@@ -90,6 +90,11 @@ def validate(state, loader, cfg, mesh, eval_fn, rng) -> float:
 
 
 def train(args) -> None:
+    if args.multihost:
+        # Multi-host pods: one process per host; jax.distributed wires the
+        # coordination service (the role of the reference's NCCL
+        # init_distributed + launcher, train.py:30-42, distributed.py:181).
+        jax.distributed.initialize()
     cfg = create_config(hparams_string=args.hparams)
     if args.batch_size:
         cfg = cfg.replace(batch_size=args.batch_size)
@@ -211,6 +216,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic utterances (smoke/perf)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (one process per host)")
     p.add_argument("--max-iters", type=int, default=0)
     p.add_argument("--log-interval", type=int, default=1)
     return p

@@ -46,6 +46,24 @@ def sequence_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
     return jnp.arange(max_len)[None, :] < lengths[:, None]
 
 
+def _compute_dtype(cfg: TacotronConfig):
+    if cfg.parity_mode or cfg.compute_dtype == "float32":
+        return jnp.float32
+    return jnp.dtype(cfg.compute_dtype)
+
+
+def _cast_floats(tree, dtype):
+    """Cast float arrays in a pytree to ``dtype``.  Inside jit, XLA hoists
+    these loop-invariant casts out of the decoder scan, so the weights are
+    materialized once as bf16 and the per-step HBM traffic (the decode
+    bottleneck: ~150 MB of LSTM weights per frame at f32) is halved."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree_util.tree_map(cast, tree)
+
+
 # ---------------------------------------------------------------------------
 # Init
 # ---------------------------------------------------------------------------
@@ -244,8 +262,10 @@ def _decoder_carry_init(cfg: TacotronConfig, B: int, T_text: int, T_sub: int,
         ctx_b=z(B, cfg.encoder_embedding_dim),
         w=z(B, T_text), w_cum=z(B, T_text),
         w_b=z(B, T_sub), w_cum_b=z(B, T_sub),
-        att_state=A.init_state(cfg.attention, B, T_text),
-        att_state_b=A.init_state(cfg.attention, B, T_sub),
+        att_state=_cast_floats(A.init_state(cfg.attention, B, T_text),
+                               dtype),
+        att_state_b=_cast_floats(A.init_state(cfg.attention, B, T_sub),
+                                 dtype),
         rng=rng,
     )
 
@@ -316,6 +336,11 @@ def decoder_teacher_forced(dp, cfg: TacotronConfig, memory, memory_b, mels,
              alignments [B, T_out, T_text], alignments_b [B, T_out, T_sub]).
     """
     B, _, T_out = mels.shape
+    dtype = _compute_dtype(cfg)
+    dp = _cast_floats(dp, dtype)
+    memory = memory.astype(dtype)
+    memory_b = memory_b.astype(dtype)
+    mels = mels.astype(dtype)
     rng, k_pre, k_pre_b, k_scan = jax.random.split(rng, 4)
 
     # Teacher inputs: go frame + all-but-last target frames, then the prenet
@@ -350,10 +375,11 @@ def decoder_teacher_forced(dp, cfg: TacotronConfig, memory, memory_b, mels,
     mel_out = L.linear_apply(dp["linear_projection"], hidden_ctx)  # [T, B, M]
     gate_out = L.linear_apply(dp["gate_layer"], hidden_ctx)[..., 0]  # [T, B]
 
-    mel_outputs = jnp.transpose(mel_out, (1, 2, 0))        # [B, n_mels, T]
-    gate_outputs = jnp.swapaxes(gate_out, 0, 1)            # [B, T]
-    alignments = jnp.swapaxes(ws, 0, 1)                    # [B, T_out, T_text]
-    alignments_b = jnp.swapaxes(ws_b, 0, 1)
+    # outputs back to f32 regardless of the internal compute dtype
+    mel_outputs = jnp.transpose(mel_out, (1, 2, 0)).astype(jnp.float32)
+    gate_outputs = jnp.swapaxes(gate_out, 0, 1).astype(jnp.float32)
+    alignments = jnp.swapaxes(ws, 0, 1).astype(jnp.float32)
+    alignments_b = jnp.swapaxes(ws_b, 0, 1).astype(jnp.float32)
     return mel_outputs, gate_outputs, alignments, alignments_b
 
 
@@ -373,6 +399,11 @@ def decoder_infer(dp, cfg: TacotronConfig, memory, memory_b, *, rng,
                    else cfg.gate_threshold)
     B = memory.shape[0]
     M = cfg.n_mel_channels
+
+    dtype = _compute_dtype(cfg)
+    dp = _cast_floats(dp, dtype)
+    memory = memory.astype(dtype)
+    memory_b = memory_b.astype(dtype)
 
     proc_mem = A.process_memory(dp["attention"], memory)
     proc_mem_b = A.process_memory(dp["attention_bert"], memory_b)
@@ -432,14 +463,17 @@ def decoder_infer(dp, cfg: TacotronConfig, memory, memory_b, *, rng,
     infer_ok = out["finished"]
 
     valid = sequence_mask(lengths, S)  # [B, S]
-    mel = jnp.transpose(out["bufs"]["mel"], (1, 2, 0)) * valid[:, None, :]
-    gate = jnp.swapaxes(out["bufs"]["gate"], 0, 1)
+    mel = (jnp.transpose(out["bufs"]["mel"], (1, 2, 0))
+           * valid[:, None, :]).astype(jnp.float32)
+    gate = jnp.swapaxes(out["bufs"]["gate"], 0, 1).astype(jnp.float32)
     gate = jnp.where(valid, gate, GATE_PAD_VALUE)
     return {
         "mel": mel,
         "gate": gate,
-        "alignments": jnp.swapaxes(out["bufs"]["align"], 0, 1) * valid[:, :, None],
-        "alignments_bert": jnp.swapaxes(out["bufs"]["align_b"], 0, 1) * valid[:, :, None],
+        "alignments": (jnp.swapaxes(out["bufs"]["align"], 0, 1)
+                       * valid[:, :, None]).astype(jnp.float32),
+        "alignments_bert": (jnp.swapaxes(out["bufs"]["align_b"], 0, 1)
+                            * valid[:, :, None]).astype(jnp.float32),
         "mel_lengths": lengths,
         "infer_ok": infer_ok,
     }

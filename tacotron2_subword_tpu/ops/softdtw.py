@@ -234,6 +234,46 @@ def _skew(D: jnp.ndarray) -> jnp.ndarray:
     return out.at[:, i, i + j].set(D)
 
 
+def profile(batch_size: int = 128, seq_len_a: int = 17, seq_len_b: int = 15,
+            dims: int = 2, n_iters: int = 6):
+    """Self-profiling harness (the reference's soft_dtw_cuda.py:382-428):
+    times forward+backward for the scan implementation and, on TPU, the
+    Pallas forward kernel, and checks they agree."""
+    import time
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch_size, seq_len_a, dims),
+                                        dtype=np.float32))
+    y = jnp.asarray(rng.standard_normal((batch_size, seq_len_b, dims),
+                                        dtype=np.float32))
+    D = euclidean_dist_matrix(x, y)
+
+    fwd_bwd = jax.jit(jax.value_and_grad(
+        lambda d: jnp.sum(softdtw(d, 1.0, 0.0))))
+    v, g = fwd_bwd(D)
+    np.asarray(g)
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        v, g = fwd_bwd(D)
+        np.asarray(g)
+        times.append(time.perf_counter() - t0)
+    print(f"scan fwd+bwd: avg {np.mean(times) * 1e3:.2f} ms "
+          f"(B={batch_size}, {seq_len_a}x{seq_len_b})")
+
+    try:
+        pf = jax.jit(lambda d: softdtw_pallas(d, 1.0, 0.0))
+        r2 = np.asarray(pf(D))
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            r2 = np.asarray(pf(D))
+        print(f"pallas fwd: avg {(time.perf_counter() - t0) / n_iters * 1e3:.2f} ms, "
+              f"max |diff| vs scan {np.abs(np.asarray(softdtw(D, 1.0, 0.0)) - r2).max():.2e}")
+    except Exception as e:
+        print(f"pallas kernel unavailable on this backend: {type(e).__name__}")
+    return float(jnp.sum(v))
+
+
 def softdtw_pallas(D: jnp.ndarray, gamma: float = 1.0,
                    bandwidth: float = 0.0,
                    interpret: bool = False) -> jnp.ndarray:

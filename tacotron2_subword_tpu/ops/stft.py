@@ -238,6 +238,27 @@ def mel_spectrogram(y: jnp.ndarray, sampling_rate: int = 22050,
     return dynamic_range_compression(mel)
 
 
+def inv_mel_spec(mel: jnp.ndarray, sampling_rate: int = 22050,
+                 filter_length: int = 1024, hop_length: int = 256,
+                 win_length: int = 1024, mel_fmin: float = 0.0,
+                 mel_fmax: float = 8000.0, griffin_iters: int = 60,
+                 scaling: float = 1000.0, key=None) -> jnp.ndarray:
+    """log-mel [B, n_mels, T] → waveform via filterbank pseudo-inverse +
+    Griffin-Lim (the reference's Audio.tools.inv_mel_spec, Audio/
+    tools.py:45-61, including the spec_from_mel_scaling=1000 factor)."""
+    n_mels = mel.shape[1]
+    fb = mel_filterbank(sampling_rate, filter_length, n_mels, mel_fmin,
+                        mel_fmax)
+    inv_fb = jnp.asarray(np.linalg.pinv(fb))
+    spec = jnp.einsum("km,bmt->bkt", inv_fb,
+                      dynamic_range_decompression(mel),
+                      preferred_element_type=jnp.float32)
+    spec = jnp.maximum(spec, 1e-8) * scaling
+    wav = griffin_lim(spec, filter_length, hop_length, win_length,
+                      n_iters=griffin_iters, key=key)
+    return wav / scaling
+
+
 def hifigan_mel_spectrogram(y: jnp.ndarray, n_fft: int = 1024,
                             num_mels: int = 80, sampling_rate: int = 22050,
                             hop_size: int = 256, win_size: int = 1024,

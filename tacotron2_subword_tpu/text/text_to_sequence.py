@@ -25,8 +25,16 @@ REFERENCE_PHONE_ID_DIR = "/root/reference/resources"
 class Text2Seq:
     def __init__(self, g2p_model_path: str, g2p_config=None,
                  phone_id_list_file: Optional[str] = None,
+                 g2p_model_type: str = "phonetisaurus",
                  delimiter: Optional[str] = None,
                  ignore_white_space: bool = False):
+        if g2p_model_type == "transformer":
+            # reference text_to_sequence.py:25-30 — the legacy torch
+            # transformer G2P is explicitly unsupported there too
+            raise ValueError(
+                "The transformer g2p model is no longer supported.")
+        if g2p_model_type != "phonetisaurus":
+            raise ValueError(f"unknown g2p_model_type {g2p_model_type!r}")
         if phone_id_list_file is None:
             name = ("phone_id_list.delimiter." + delimiter + ".txt"
                     if delimiter is not None else "phone_id_list.txt")

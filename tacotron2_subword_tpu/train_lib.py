@@ -53,14 +53,34 @@ def _masked_kl(align_out, align_target, text_lengths, mel_lengths):
 
 def tacotron2_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, Any],
                    cfg: TacotronConfig, iteration) -> Dict[str, jnp.ndarray]:
-    """Returns dict(total, mel, gate, align, align_bert)."""
+    """Returns dict(total, mel, gate, align, align_bert).
+
+    An optional ``batch["weight"]`` [B] excludes padding duplicates that the
+    bucketed loader appends to fill partial batches (data/dataset.py); with
+    all-ones weights this reduces exactly to the reference's global means.
+    """
     mel_target = batch["mels"]
     gate_target = batch["gate_target"]  # [B, T_out], 0 then 1 at/after end
+    w = batch.get("weight")
 
-    mel_loss = (jnp.mean((outputs["mel"] - mel_target) ** 2)
-                + jnp.mean((outputs["mel_postnet"] - mel_target) ** 2))
-    gate_loss = bce_with_logits(outputs["gate"].reshape(-1),
-                                gate_target.reshape(-1))
+    if w is None:
+        mel_loss = (jnp.mean((outputs["mel"] - mel_target) ** 2)
+                    + jnp.mean((outputs["mel_postnet"] - mel_target) ** 2))
+        gate_loss = bce_with_logits(outputs["gate"].reshape(-1),
+                                    gate_target.reshape(-1))
+    else:
+        wsum = jnp.maximum(w.sum(), 1.0)
+
+        def wmean(x):  # per-sample mean over non-batch dims, then weighted
+            per = x.reshape(x.shape[0], -1).mean(axis=1)
+            return (per * w).sum() / wsum
+
+        mel_loss = (wmean((outputs["mel"] - mel_target) ** 2)
+                    + wmean((outputs["mel_postnet"] - mel_target) ** 2))
+        g = outputs["gate"]
+        t = gate_target
+        bce = (jnp.maximum(g, 0) - g * t + jnp.log1p(jnp.exp(-jnp.abs(g))))
+        gate_loss = wmean(bce)
 
     losses = {"mel": mel_loss, "gate": gate_loss,
               "align": jnp.float32(0.0), "align_bert": jnp.float32(0.0)}

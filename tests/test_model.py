@@ -17,7 +17,7 @@ SMALL = TacotronConfig(
     attention_rnn_dim=20, attention_dim=8, decoder_rnn_dim=24,
     prenet_dim=10, n_mel_channels=5, postnet_embedding_dim=16,
     max_decoder_steps=30, attention_location_n_filters=4,
-    attention_location_kernel_size=7,
+    attention_location_kernel_size=7, parity_mode=True,
 )
 
 
@@ -210,3 +210,28 @@ def test_forward_all_attention_variants(variant):
     out, _ = M.forward(params, bn, cfg, batch, training=False,
                        rng=jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(out["mel_postnet"])).all()
+
+
+def test_bf16_compute_path_close_to_f32():
+    """With compute_dtype=bfloat16 the decoder runs in bf16 (weights cast
+    once outside the scan); outputs must stay finite and close to f32."""
+    cfg32 = SMALL
+    cfg16 = SMALL.replace(parity_mode=False, compute_dtype="bfloat16")
+    params, bn = M.init_tacotron2(jax.random.PRNGKey(0), cfg32)
+    batch = make_batch(cfg32, T_out=10)
+    o32, _ = M.forward(params, bn, cfg32, batch, training=False,
+                       rng=jax.random.PRNGKey(1))
+    o16, _ = M.forward(params, bn, cfg16, batch, training=False,
+                       rng=jax.random.PRNGKey(1))
+    a, b = np.asarray(o32["mel_postnet"], np.float32), \
+        np.asarray(o16["mel_postnet"], np.float32)
+    assert np.isfinite(b).all()
+    denom = np.abs(a).mean() + 1e-6
+    assert np.abs(a - b).mean() / denom < 0.1  # bf16-level agreement
+
+    out16 = M.infer(params, bn, cfg16, batch["text"], batch["sub"],
+                    batch["cls_phone"], batch["cls_sub"],
+                    rng=jax.random.PRNGKey(2), max_steps=8,
+                    gate_threshold=1.1)
+    assert np.isfinite(np.asarray(out16["mel_postnet"],
+                                  np.float32)).all()

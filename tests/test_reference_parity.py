@@ -90,7 +90,8 @@ def jax_cfg():
         encoder_embedding_dim=32, bert_embedding_dim=16,
         attention_rnn_dim=24, attention_dim=12, decoder_rnn_dim=28,
         prenet_dim=16, n_mel_channels=8, postnet_embedding_dim=16,
-        max_decoder_steps=15, prenet_dropout_always_on=False)
+        max_decoder_steps=15, prenet_dropout_always_on=False,
+        parity_mode=True)
 
 
 @pytest.fixture(scope="module")

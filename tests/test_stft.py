@@ -151,3 +151,18 @@ def test_hifigan_mel_matches_torch_stft(wave):
         jnp.asarray(wave[:1]), peak_normalize=True))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-3)
+
+
+def test_inv_mel_spec_roundtrip(wave):
+    """mel → inv_mel_spec → audio whose mel is close to the input mel
+    (the reference's Audio.tools.inv_mel_spec path)."""
+    import jax
+    mel = tstft.mel_spectrogram(jnp.asarray(wave[:1, :8192]))
+    wav = tstft.inv_mel_spec(mel, griffin_iters=8,
+                             key=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(wav)).all()
+    mel2 = tstft.mel_spectrogram(jnp.clip(wav, -1, 1))
+    n = min(mel.shape[-1], mel2.shape[-1])
+    corr = np.corrcoef(np.asarray(mel)[0, :, 2:n - 2].ravel(),
+                       np.asarray(mel2)[0, :, 2:n - 2].ravel())[0, 1]
+    assert corr > 0.85

@@ -105,3 +105,32 @@ def _forward(state, cfg, batch):
     # differ in general.  Use the phone-stream shape for the test target.
     out["alignments_bert"] = out["alignments"]
     return out
+
+
+def test_weighted_loss_excludes_padding_duplicates():
+    """weight=0 rows must not affect the loss; all-ones weights reduce to
+    the unweighted reference means."""
+    import jax
+    from tacotron2_subword_tpu.models import tacotron2 as M
+    cfg = SMALL
+    state, _ = T.create_train_state(jax.random.PRNGKey(0), cfg)
+    batch = full_batch(cfg, T_out=8)
+    out, _ = M.forward(state.params, state.bn_state, cfg, batch,
+                       training=False, rng=jax.random.PRNGKey(0))
+
+    plain = T.tacotron2_loss(out, batch, cfg, 0)
+    ones = dict(batch)
+    ones["weight"] = jnp.ones(3)
+    weighted = T.tacotron2_loss(out, ones, cfg, 0)
+    np.testing.assert_allclose(float(plain["total"]),
+                               float(weighted["total"]), rtol=1e-5)
+
+    # corrupt the last sample, weight it out: loss must equal the clean
+    # weighted loss restricted to the first two samples
+    corrupt = dict(ones)
+    corrupt["mels"] = batch["mels"].at[2].set(100.0)
+    corrupt["weight"] = jnp.asarray([1.0, 1.0, 0.0])
+    out_c, _ = M.forward(state.params, state.bn_state, cfg, corrupt,
+                         training=False, rng=jax.random.PRNGKey(0))
+    l_c = T.tacotron2_loss(out_c, corrupt, cfg, 0)
+    assert float(l_c["mel"]) < 10  # the corrupted sample contributed nothing
