@@ -150,6 +150,8 @@ def train(args) -> None:
 
     logger = Tacotron2Logger(args.log_directory) if args.log_directory \
         else None
+    from tacotron2_subword_tpu.utils.platform import StepProfiler
+    profiler = StepProfiler(args.profile_dir)
     best = CK.BestTracker(args.output_directory)
     rng = jax.random.PRNGKey(cfg.seed + jax.process_index())
     iteration = start_iter
@@ -162,6 +164,7 @@ def train(args) -> None:
             rng, step_key = jax.random.split(rng)
             step_key = jax.device_put(step_key, PM.replicate_sharding(mesh))
             db = device_batch(batch, mesh)
+            profiler.step(iteration)
             state, metrics = step_fn(state, db, step_key)
             total = float(metrics["total"])  # host sync
             dt = time.perf_counter() - t0
@@ -191,6 +194,7 @@ def train(args) -> None:
                         logger.log_validation(val_loss, state.params,
                                               last[0], last[1], iteration)
             if args.max_iters and iteration >= args.max_iters:
+                profiler.close()
                 print("reached max iters")
                 return
 
@@ -218,6 +222,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="train on N synthetic utterances (smoke/perf)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (one process per host)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture an xprof trace of a few steps here")
     p.add_argument("--max-iters", type=int, default=0)
     p.add_argument("--log-interval", type=int, default=1)
     return p

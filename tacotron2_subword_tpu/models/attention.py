@@ -216,7 +216,8 @@ def attention_step(variant: str, params, query, memory, processed_memory,
         e = _additive_energies(params, query, processed_memory)
         e = _masked(e, mask)
         if training and noise_key is not None:
-            e = e + jax.random.normal(noise_key, e.shape) * SMA_SIGMOID_NOISE
+            e = e + (jax.random.normal(noise_key, e.shape, e.dtype)
+                     * SMA_SIGMOID_NOISE)
         p_i = jax.nn.sigmoid(e)
         prev = state["alignment"]
         # align_t = prev*p + shift_right(prev * (1-p))   (He et al. 2019 eq 8;

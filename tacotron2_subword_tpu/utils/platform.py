@@ -5,6 +5,40 @@ from __future__ import annotations
 import os
 
 
+class StepProfiler:
+    """JAX/XLA profiler integration (replaces the reference's ad-hoc
+    time.perf_counter step timing, train.py:289,343-345, with real traces).
+
+    Captures a TensorBoard-compatible xprof trace of steps
+    [start_step, start_step + num_steps) into ``logdir/plugins/profile``.
+    """
+
+    def __init__(self, logdir: str | None, start_step: int = 5,
+                 num_steps: int = 3):
+        self.logdir = logdir
+        self.start = start_step
+        self.stop = start_step + num_steps
+        self._active = False
+
+    def step(self, iteration: int) -> None:
+        if not self.logdir:
+            return
+        import jax
+        if iteration == self.start and not self._active:
+            jax.profiler.start_trace(self.logdir)
+            self._active = True
+        elif iteration >= self.stop and self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            print(f"profiler trace written to {self.logdir}")
+
+    def close(self) -> None:
+        if self._active:
+            import jax
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     """Enable JAX's persistent compilation cache so repeated app runs
     (resume, sweeps, inference restarts) skip the 1-4 minute XLA compiles.
