@@ -233,97 +233,111 @@ def postnet_apply(params, bn_state, x, *, training: bool, rng):
 # ---------------------------------------------------------------------------
 
 class DecoderCarry(NamedTuple):
-    h_att: jnp.ndarray
-    c_att: jnp.ndarray
-    h_att_b: jnp.ndarray
-    c_att_b: jnp.ndarray
-    h_dec: jnp.ndarray
-    c_dec: jnp.ndarray
-    ctx: jnp.ndarray
-    ctx_b: jnp.ndarray
-    w: jnp.ndarray
-    w_cum: jnp.ndarray
-    w_b: jnp.ndarray
-    w_cum_b: jnp.ndarray
-    att_state: Dict[str, jnp.ndarray]
-    att_state_b: Dict[str, jnp.ndarray]
+    """Decoder scan carry with the two attention streams STACKED on a
+    leading axis of size 2 (phone stream = index 0, subword/bert = 1).
+
+    Stacking turns the reference's duplicated per-stream ops (two attention
+    LSTMCells, two attention computations — reference model.py:340-359)
+    into single batched ops: one [2,B,.]x[2,.,.] batched matmul instead of
+    two dispatches.  The subword memory is zero-padded to the phone
+    stream's T; masks keep the math identical (padded positions get -1e9
+    energies, so their weights are ~0 and the zero memory contributes
+    nothing to the context).
+    """
+    h_att: jnp.ndarray      # [2, B, attention_rnn_dim]
+    c_att: jnp.ndarray      # [2, B, attention_rnn_dim]
+    h_dec: jnp.ndarray      # [B, decoder_rnn_dim]
+    c_dec: jnp.ndarray      # [B, decoder_rnn_dim]
+    ctx: jnp.ndarray        # [2, B, encoder_embedding_dim]
+    w: jnp.ndarray          # [2, B, T]
+    w_cum: jnp.ndarray      # [2, B, T]
+    att_state: Dict[str, jnp.ndarray]  # leaves stacked on axis 0
     rng: jnp.ndarray
 
 
-def _decoder_carry_init(cfg: TacotronConfig, B: int, T_text: int, T_sub: int,
-                        rng, dtype=jnp.float32) -> DecoderCarry:
+def _stack_stream_params(dp):
+    """Stack the per-stream decoder params on a leading axis and prepare
+    the LSTM weights outside the scan (L.lstm_prepare): returns
+    (attention_rnn_s_prepared, attention_s, decoder_rnn_prepared)."""
+    rnn_s = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]),
+                                   L.lstm_prepare(dp["attention_rnn"]),
+                                   L.lstm_prepare(dp["attention_rnn_bert"]))
+    att_s = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]),
+                                   dp["attention"], dp["attention_bert"])
+    return rnn_s, att_s, L.lstm_prepare(dp["decoder_rnn"])
+
+
+def _pad_T(x, T, axis=-1, value=0.0):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, T - x.shape[axis])
+    return jnp.pad(x, pad, constant_values=value) if T > x.shape[axis] else x
+
+
+def _decoder_carry_init(cfg: TacotronConfig, B: int, T: int, rng,
+                        dtype=jnp.float32) -> DecoderCarry:
     z = lambda *s: jnp.zeros(s, dtype)
+    state0 = _cast_floats(A.init_state(cfg.attention, B, T), dtype)
     return DecoderCarry(
-        h_att=z(B, cfg.attention_rnn_dim), c_att=z(B, cfg.attention_rnn_dim),
-        h_att_b=z(B, cfg.attention_rnn_dim),
-        c_att_b=z(B, cfg.attention_rnn_dim),
+        h_att=z(2, B, cfg.attention_rnn_dim),
+        c_att=z(2, B, cfg.attention_rnn_dim),
         h_dec=z(B, cfg.decoder_rnn_dim), c_dec=z(B, cfg.decoder_rnn_dim),
-        ctx=z(B, cfg.encoder_embedding_dim),
-        ctx_b=z(B, cfg.encoder_embedding_dim),
-        w=z(B, T_text), w_cum=z(B, T_text),
-        w_b=z(B, T_sub), w_cum_b=z(B, T_sub),
-        att_state=_cast_floats(A.init_state(cfg.attention, B, T_text),
-                               dtype),
-        att_state_b=_cast_floats(A.init_state(cfg.attention, B, T_sub),
-                                 dtype),
+        ctx=z(2, B, cfg.encoder_embedding_dim),
+        w=z(2, B, T), w_cum=z(2, B, T),
+        att_state=jax.tree_util.tree_map(
+            lambda s: jnp.stack([s, s]), state0),
         rng=rng,
     )
 
 
-def _decode_step(dp, cfg: TacotronConfig, carry: DecoderCarry,
-                 pre_t, pre_b_t, memory, memory_b, proc_mem, proc_mem_b,
-                 mask, mask_b, training: bool):
-    """One decoder step (reference Decoder.decode, model.py:322-390).
-    pre_t/pre_b_t: [B, prenet_dim] prenet outputs for this frame.
-    Returns (new_carry, hidden_ctx [B, dec+2*embed], w, w_b)."""
+def _decode_step(rnn_s, att_s, dec_rnn, dp, cfg: TacotronConfig,
+                 carry: DecoderCarry,
+                 pre_ts, memory_s, proc_mem_s, mask_s, training: bool):
+    """One decoder step (reference Decoder.decode, model.py:322-390) with
+    both streams batched.  pre_ts: [2, B, prenet_dim] prenet outputs;
+    memory_s/proc_mem_s: [2, B, T, .]; mask_s: [2, B, T] or None.
+    Returns (new_carry, hidden_ctx [B, dec+2*embed], w_s [2, B, T])."""
     rng = carry.rng
-    keys = jax.random.split(rng, 8)
-    new_rng, k_att, k_attc, k_attb, k_attbc, k_dec, k_noise, k_noise_b = keys
+    new_rng, k_att, k_attc, k_dec, k_noise = jax.random.split(rng, 5)
 
-    # attention LSTMs (one per stream), dropout on h AND c (reference
-    # model.py:340-346 drops both).
-    h_att, c_att = L.lstm_cell(dp["attention_rnn"],
-                               jnp.concatenate([pre_t, carry.ctx], -1),
-                               carry.h_att, carry.c_att)
-    h_att_b, c_att_b = L.lstm_cell(dp["attention_rnn_bert"],
-                                   jnp.concatenate([pre_b_t, carry.ctx_b], -1),
-                                   carry.h_att_b, carry.c_att_b)
+    # both attention LSTMs as one batched cell; dropout on h AND c
+    # (reference model.py:340-346 drops both).
+    h_att, c_att = jax.vmap(L.lstm_cell_prepared)(
+        rnn_s, jnp.concatenate([pre_ts, carry.ctx], -1),
+        carry.h_att, carry.c_att)
     if training:
         h_att = L.dropout(k_att, h_att, cfg.p_attention_dropout)
         c_att = L.dropout(k_attc, c_att, cfg.p_attention_dropout)
-        h_att_b = L.dropout(k_attb, h_att_b, cfg.p_attention_dropout)
-        c_att_b = L.dropout(k_attbc, c_att_b, cfg.p_attention_dropout)
 
-    w_cat = jnp.stack([carry.w, carry.w_cum], axis=1)
-    w_cat_b = jnp.stack([carry.w_b, carry.w_cum_b], axis=1)
+    w_cat_s = jnp.stack([carry.w, carry.w_cum], axis=2)  # [2, B, 2, T]
+    noise_keys = jax.random.split(k_noise, 2)
 
-    ctx, w, att_state = A.attention_step(
-        cfg.attention, dp["attention"], h_att, memory, proc_mem, w_cat,
-        mask, carry.att_state, training=training, noise_key=k_noise)
-    ctx_b, w_b, att_state_b = A.attention_step(
-        cfg.attention, dp["attention_bert"], h_att_b, memory_b, proc_mem_b,
-        w_cat_b, mask_b, carry.att_state_b, training=training,
-        noise_key=k_noise_b)
+    def one_stream(p, q, mem, pm, wc, m, st, key):
+        return A.attention_step(cfg.attention, p, q, mem, pm, wc, m, st,
+                                training=training, noise_key=key)
+
+    in_axes = (0, 0, 0, 0, 0, None if mask_s is None else 0, 0, 0)
+    ctx, w, att_state = jax.vmap(one_stream, in_axes=in_axes)(
+        att_s, h_att, memory_s, proc_mem_s, w_cat_s, mask_s,
+        carry.att_state, noise_keys)
 
     w_cum = carry.w_cum + w
-    w_cum_b = carry.w_cum_b + w_b
 
-    dec_in = jnp.concatenate([h_att, ctx, h_att_b, ctx_b], -1)
-    h_dec, c_dec = L.lstm_cell(dp["decoder_rnn"], dec_in,
-                               carry.h_dec, carry.c_dec)
+    # reference concat order (model.py:362): h_phone, ctx_phone, h_bert,
+    # ctx_bert
+    dec_in = jnp.concatenate([h_att[0], ctx[0], h_att[1], ctx[1]], -1)
+    h_dec, c_dec = L.lstm_cell_prepared(dec_rnn, dec_in,
+                                        carry.h_dec, carry.c_dec)
     if training:
         kd1, kd2 = jax.random.split(k_dec)
         h_dec = L.dropout(kd1, h_dec, cfg.p_decoder_dropout)
         c_dec = L.dropout(kd2, c_dec, cfg.p_decoder_dropout)
 
-    hidden_ctx = jnp.concatenate([h_dec, ctx, ctx_b], -1)
+    hidden_ctx = jnp.concatenate([h_dec, ctx[0], ctx[1]], -1)
 
     new_carry = DecoderCarry(
-        h_att=h_att, c_att=c_att, h_att_b=h_att_b, c_att_b=c_att_b,
-        h_dec=h_dec, c_dec=c_dec, ctx=ctx, ctx_b=ctx_b,
-        w=w, w_cum=w_cum, w_b=w_b, w_cum_b=w_cum_b,
-        att_state=att_state, att_state_b=att_state_b, rng=new_rng)
-    return new_carry, hidden_ctx, w, w_b
+        h_att=h_att, c_att=c_att, h_dec=h_dec, c_dec=c_dec, ctx=ctx,
+        w=w, w_cum=w_cum, att_state=att_state, rng=new_rng)
+    return new_carry, hidden_ctx, w
 
 
 def decoder_teacher_forced(dp, cfg: TacotronConfig, memory, memory_b, mels,
@@ -353,23 +367,33 @@ def decoder_teacher_forced(dp, cfg: TacotronConfig, memory, memory_b, mels,
     pre = prenet_apply(dp["prenet"], teacher, k_pre, dropout_on)
     pre_b = prenet_apply(dp["prenet_bert"], teacher, k_pre_b, dropout_on)
 
-    proc_mem = A.process_memory(dp["attention"], memory)
-    proc_mem_b = A.process_memory(dp["attention_bert"], memory_b)
-    mask = sequence_mask(text_lengths, memory.shape[1])
-    mask_b = sequence_mask(sub_lengths, memory_b.shape[1])
+    # stack both streams; subword memory zero-padded to the phone T
+    T_text, T_sub = memory.shape[1], memory_b.shape[1]
+    T = max(T_text, T_sub)
+    rnn_s, att_s, dec_rnn = _stack_stream_params(dp)
+    memory_s = jnp.stack([_pad_T(memory, T, axis=1),
+                          _pad_T(memory_b, T, axis=1)])
+    proc_mem_s = jnp.stack([
+        _pad_T(A.process_memory(dp["attention"], memory), T, axis=1),
+        _pad_T(A.process_memory(dp["attention_bert"], memory_b), T,
+               axis=1)])
+    mask_s = jnp.stack([sequence_mask(text_lengths, T),
+                        sequence_mask(sub_lengths, T)])
 
-    carry0 = _decoder_carry_init(cfg, B, memory.shape[1], memory_b.shape[1],
-                                 k_scan, memory.dtype)
+    carry0 = _decoder_carry_init(cfg, B, T, k_scan, memory.dtype)
 
-    def step(carry, xs):
-        pre_t, pre_b_t = xs
-        carry, hidden_ctx, w, w_b = _decode_step(
-            dp, cfg, carry, pre_t, pre_b_t, memory, memory_b,
-            proc_mem, proc_mem_b, mask, mask_b, training)
-        return carry, (hidden_ctx, w, w_b)
+    def step(carry, pre_ts):
+        carry, hidden_ctx, w_s = _decode_step(
+            rnn_s, att_s, dec_rnn, dp, cfg, carry, pre_ts, memory_s,
+            proc_mem_s, mask_s, training)
+        return carry, (hidden_ctx, w_s)
 
-    xs = (jnp.swapaxes(pre, 0, 1), jnp.swapaxes(pre_b, 0, 1))  # [T, B, .]
-    _, (hidden_ctx, ws, ws_b) = jax.lax.scan(step, carry0, xs)
+    # [T_out, 2, B, prenet_dim]
+    xs = jnp.stack([jnp.swapaxes(pre, 0, 1), jnp.swapaxes(pre_b, 0, 1)],
+                   axis=1)
+    _, (hidden_ctx, ws_s) = jax.lax.scan(step, carry0, xs)
+    ws = ws_s[:, 0, :, :T_text]
+    ws_b = ws_s[:, 1, :, :T_sub]
 
     # Mel/gate projections hoisted out of the scan: one big matmul each.
     mel_out = L.linear_apply(dp["linear_projection"], hidden_ctx)  # [T, B, M]
@@ -405,22 +429,32 @@ def decoder_infer(dp, cfg: TacotronConfig, memory, memory_b, *, rng,
     memory = memory.astype(dtype)
     memory_b = memory_b.astype(dtype)
 
-    proc_mem = A.process_memory(dp["attention"], memory)
-    proc_mem_b = A.process_memory(dp["attention_bert"], memory_b)
-    mask = (sequence_mask(text_lengths, memory.shape[1])
-            if text_lengths is not None else None)
-    mask_b = (sequence_mask(sub_lengths, memory_b.shape[1])
-              if sub_lengths is not None else None)
+    T_text, T_sub = memory.shape[1], memory_b.shape[1]
+    T = max(T_text, T_sub)
+    rnn_s, att_s, dec_rnn = _stack_stream_params(dp)
+    memory_s = jnp.stack([_pad_T(memory, T, axis=1),
+                          _pad_T(memory_b, T, axis=1)])
+    proc_mem_s = jnp.stack([
+        _pad_T(A.process_memory(dp["attention"], memory), T, axis=1),
+        _pad_T(A.process_memory(dp["attention_bert"], memory_b), T,
+               axis=1)])
+    if text_lengths is None:
+        # reference inference runs unmasked (model.py:446); padded slots of
+        # the stacked memories still need masking out
+        mask_s = jnp.stack([
+            sequence_mask(jnp.full((B,), T_text, jnp.int32), T),
+            sequence_mask(jnp.full((B,), T_sub, jnp.int32), T)])
+    else:
+        mask_s = jnp.stack([sequence_mask(text_lengths, T),
+                            sequence_mask(sub_lengths, T)])
 
     rng, k_carry = jax.random.split(rng)
-    carry0 = _decoder_carry_init(cfg, B, memory.shape[1], memory_b.shape[1],
-                                 k_carry, memory.dtype)
+    carry0 = _decoder_carry_init(cfg, B, T, k_carry, memory.dtype)
 
     bufs0 = {
         "mel": jnp.zeros((S, B, M), memory.dtype),
         "gate": jnp.full((S, B), GATE_PAD_VALUE, memory.dtype),
-        "align": jnp.zeros((S, B, memory.shape[1]), memory.dtype),
-        "align_b": jnp.zeros((S, B, memory_b.shape[1]), memory.dtype),
+        "align": jnp.zeros((S, 2, B, T), memory.dtype),
     }
     state0 = dict(step=jnp.array(0), finished=jnp.zeros(B, bool),
                   lengths=jnp.zeros(B, jnp.int32),
@@ -436,9 +470,10 @@ def decoder_infer(dp, cfg: TacotronConfig, memory, memory_b, *, rng,
                              cfg.prenet_dropout_always_on)
         pre_b_t = prenet_apply(dp["prenet_bert"], s["prev"], k_pre_b,
                                cfg.prenet_dropout_always_on)
-        carry, hidden_ctx, w, w_b = _decode_step(
-            dp, cfg, s["carry"], pre_t, pre_b_t, memory, memory_b,
-            proc_mem, proc_mem_b, mask, mask_b, training=False)
+        pre_ts = jnp.stack([pre_t, pre_b_t])
+        carry, hidden_ctx, w_s = _decode_step(
+            rnn_s, att_s, dec_rnn, dp, cfg, s["carry"], pre_ts, memory_s,
+            proc_mem_s, mask_s, training=False)
         mel_t = L.linear_apply(dp["linear_projection"], hidden_ctx)
         gate_t = L.linear_apply(dp["gate_layer"], hidden_ctx)[..., 0]
 
@@ -446,8 +481,7 @@ def decoder_infer(dp, cfg: TacotronConfig, memory, memory_b, *, rng,
         bufs = {
             "mel": s["bufs"]["mel"].at[t].set(mel_t),
             "gate": s["bufs"]["gate"].at[t].set(gate_t),
-            "align": s["bufs"]["align"].at[t].set(w),
-            "align_b": s["bufs"]["align_b"].at[t].set(w_b),
+            "align": s["bufs"]["align"].at[t].set(w_s),
         }
         fired = jax.nn.sigmoid(gate_t) > thresh
         newly_done = fired & ~s["finished"]
@@ -467,12 +501,13 @@ def decoder_infer(dp, cfg: TacotronConfig, memory, memory_b, *, rng,
            * valid[:, None, :]).astype(jnp.float32)
     gate = jnp.swapaxes(out["bufs"]["gate"], 0, 1).astype(jnp.float32)
     gate = jnp.where(valid, gate, GATE_PAD_VALUE)
+    align = out["bufs"]["align"]  # [S, 2, B, T]
     return {
         "mel": mel,
         "gate": gate,
-        "alignments": (jnp.swapaxes(out["bufs"]["align"], 0, 1)
+        "alignments": (jnp.transpose(align[:, 0, :, :T_text], (1, 0, 2))
                        * valid[:, :, None]).astype(jnp.float32),
-        "alignments_bert": (jnp.swapaxes(out["bufs"]["align_b"], 0, 1)
+        "alignments_bert": (jnp.transpose(align[:, 1, :, :T_sub], (1, 0, 2))
                             * valid[:, :, None]).astype(jnp.float32),
         "mel_lengths": lengths,
         "infer_ok": infer_ok,
