@@ -100,9 +100,10 @@ def train(args) -> None:
         cfg = cfg.replace(batch_size=args.batch_size)
 
     os.makedirs(args.output_directory, exist_ok=True)
-    mesh = PM.make_mesh()
+    mesh = PM.make_mesh(n_model=args.model_parallel)
+    n_data = mesh.shape["data"]
     n_dev = mesh.devices.size
-    global_batch = cfg.batch_size * n_dev
+    global_batch = cfg.batch_size * n_data
 
     if args.synthetic:
         train_ds = SyntheticDataset(cfg, args.synthetic, seed=1)
@@ -140,8 +141,9 @@ def train(args) -> None:
         state = CK.warm_start(ckpt_path, state, cfg.ignore_layers)
         print(f"warm-started from {ckpt_path}")
 
+    cpu_state = state
     state = PM.shard_train_state(state, mesh)
-    step_fn = PM.make_parallel_train_step(cfg, tx, mesh)
+    step_fn = PM.make_parallel_train_step(cfg, tx, mesh, state=cpu_state)
     eval_fn = jax.jit(
         lambda s, b, r: T.eval_step(s, b, r, cfg),
         in_shardings=(PM.replicate_sharding(mesh), PM.batch_sharding(mesh),
@@ -222,6 +224,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="train on N synthetic utterances (smoke/perf)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (one process per host)")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="model-axis size (shards embeddings + wide LSTM "
+                        "weights; data axis = n_devices / this)")
     p.add_argument("--profile-dir", default=None,
                    help="capture an xprof trace of a few steps here")
     p.add_argument("--max-iters", type=int, default=0)

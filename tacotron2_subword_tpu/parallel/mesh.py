@@ -55,24 +55,108 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 
 def shard_train_state(state: T.TrainState, mesh: Mesh) -> T.TrainState:
-    """Replicate parameters/optimizer state across the mesh (the functional
-    analogue of the reference's rank-0 broadcast, distributed.py:138-141)."""
+    """Lay the train state out on the mesh: replicated under pure DP (the
+    functional analogue of the reference's rank-0 broadcast,
+    distributed.py:138-141), model-axis sharded when model > 1."""
+    if mesh.shape["model"] > 1:
+        shardings = train_state_shardings(state, mesh)
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s), state, shardings)
     rep = replicate_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
 
 
-def make_parallel_train_step(cfg: TacotronConfig, tx, mesh: Mesh):
-    """jit-compiled data-parallel train step: batch sharded over 'data',
-    state replicated; XLA inserts the gradient psum."""
+def tacotron_param_sharding(params: Any, mesh: Mesh):
+    """Parameter shardings over the ('data','model') mesh.
+
+    DP keeps parameters replicated; with a model axis > 1 the large
+    embedding tables shard by vocabulary row and the widest decoder matmuls
+    shard by output column (Megatron-style column parallelism — XLA inserts
+    the all-gathers/reduce-scatters).  Everything else stays replicated
+    (the attention/projection weights are small).
+    """
+    rep = NamedSharding(mesh, P())
+    shardings = jax.tree_util.tree_map(lambda _: rep, params)
+    if mesh.shape["model"] == 1:
+        return shardings
+
+    row = NamedSharding(mesh, P("model"))          # shard dim 0
+
+    # vocabulary-sharded embeddings (5500x512 and 313x512 tables)
+    shardings["embedding"] = row
+    shardings["embedding_sub"] = row
+    # column-parallel fused LSTM input/hidden weights [4H, in] → shard 4H
+    for name in ("attention_rnn", "attention_rnn_bert", "decoder_rnn"):
+        shardings["decoder"][name]["w_ih"] = row
+        shardings["decoder"][name]["w_hh"] = row
+        shardings["decoder"][name]["b_ih"] = row
+        shardings["decoder"][name]["b_hh"] = row
+    return shardings
+
+
+def hifigan_param_sharding(params: Any, mesh: Mesh):
+    """HiFi-GAN generator shardings: channel-shard the wide upsampling
+    stack over the model axis (the north star's "vocoder convs sharded
+    where they exceed one chip").  Transposed-conv weights are [in, out, k]
+    (torch layout): shard the out channel (dim 1); biases [out] shard dim 0;
+    weight-norm g for convT is per-in-channel [in,1,1] and stays
+    replicated."""
+    rep = NamedSharding(mesh, P())
+    shardings = jax.tree_util.tree_map(lambda _: rep, params)
+    if mesh.shape["model"] == 1:
+        return shardings
+    out_dim0 = NamedSharding(mesh, P("model"))
+    out_dim1 = NamedSharding(mesh, P(None, "model"))
+    for i, up in enumerate(params["ups"]):
+        if "v" in up:
+            shardings["ups"][i]["v"] = out_dim1
+        if "w" in up:
+            shardings["ups"][i]["w"] = out_dim1
+        if "b" in up:
+            shardings["ups"][i]["b"] = out_dim0
+    return shardings
+
+
+def train_state_shardings(state: T.TrainState, mesh: Mesh):
+    """Shardings for the full TrainState: params via
+    tacotron_param_sharding; optimizer moments (which mirror param shapes)
+    get the matching param sharding by shape; everything else replicated."""
+    rep = replicate_sharding(mesh)
+    pshard = tacotron_param_sharding(state.params, mesh)
+    by_shape = {}
+    for (p_leaf, s_leaf) in zip(jax.tree_util.tree_leaves(state.params),
+                                jax.tree_util.tree_leaves(pshard)):
+        if s_leaf is not rep:
+            by_shape[p_leaf.shape] = s_leaf
+
+    def match(x):
+        return by_shape.get(getattr(x, "shape", None), rep)
+
+    return T.TrainState(
+        step=rep,
+        params=pshard,
+        bn_state=jax.tree_util.tree_map(lambda _: rep, state.bn_state),
+        opt_state=jax.tree_util.tree_map(match, state.opt_state),
+    )
+
+
+def make_parallel_train_step(cfg: TacotronConfig, tx, mesh: Mesh,
+                             state: Optional[T.TrainState] = None):
+    """jit-compiled train step: batch sharded over 'data'; parameters
+    replicated under pure DP, or model-axis sharded (embeddings + wide
+    LSTM weights) when the mesh has a model axis > 1 and ``state`` is
+    given.  XLA inserts the gradient psum and any TP collectives."""
     rep = replicate_sharding(mesh)
     data = batch_sharding(mesh)
+    st_shard = (train_state_shardings(state, mesh)
+                if state is not None and mesh.shape["model"] > 1 else rep)
 
     def step(state, batch, rng):
         return T.train_step(state, batch, rng, cfg, tx)
 
     return jax.jit(
         step,
-        in_shardings=(rep, data, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(st_shard, data, rep),
+        out_shardings=(st_shard, rep),
         donate_argnums=(0,),
     )
