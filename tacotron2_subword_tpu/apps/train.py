@@ -115,8 +115,9 @@ def train(args) -> None:
                                         args.sub_dir, args.cls_dir,
                                         load_alignment=bool(cfg.align_loss))
         val_ds = BertTacotron2Dataset(val_rows, args.val_mel_dir or
-                                      args.mel_dir, args.sub_dir,
-                                      args.cls_dir,
+                                      args.mel_dir,
+                                      args.val_sub_dir or args.sub_dir,
+                                      args.val_cls_dir or args.cls_dir,
                                       load_alignment=bool(cfg.align_loss))
 
     loader_kw = dict(batch_size=global_batch,
@@ -217,6 +218,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--val-mel-dir", default=None)
     p.add_argument("--sub-dir", default=None)
     p.add_argument("--cls-dir", default=None)
+    p.add_argument("--val-sub-dir", default=None,
+                   help="subword-ID dir for the val list (defaults to "
+                        "--sub-dir; the reference shares one dir across "
+                        "splits, which silently mismatches val rows)")
+    p.add_argument("--val-cls-dir", default=None)
     p.add_argument("--tokenizer_vocab", type=int, default=None,
                    help="subword vocab size (sets sub_n_symbols)")
     p.add_argument("--batch-size", type=int, default=None)

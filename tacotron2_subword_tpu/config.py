@@ -81,6 +81,10 @@ class TacotronConfig:
     # the allclose-vs-reference tests.
     compute_dtype: str = "bfloat16"
     parity_mode: bool = False
+    # Weight-only quantization of the decode-loop LSTM weights ("" or
+    # "int8").  Inference-only: halves the per-step HBM weight stream that
+    # bounds autoregressive decode (see ops/quant.py).
+    decode_quant: str = ""
 
     def replace(self, **kw: Any) -> "TacotronConfig":
         return dataclasses.replace(self, **kw)

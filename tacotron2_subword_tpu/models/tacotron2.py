@@ -198,15 +198,31 @@ def encoder_apply(params, bn_state, x, lengths, *, training: bool, rng):
     return out, new_bn
 
 
-def prenet_apply(params, x, rng, dropout_on: bool):
+def prenet_apply(params, x, rng, dropout_on: bool, masks=None):
     """2x (linear → relu → dropout 0.5).  Reference model.py:13-24 applies
-    dropout with training=True ALWAYS — replicated via dropout_on."""
-    for p in params:
+    dropout with training=True ALWAYS — replicated via dropout_on.
+
+    ``masks`` optionally supplies precomputed scaled keep-masks (one per
+    layer, each broadcastable to the layer output): the decode loop
+    generates all its masks from ONE key split per step because per-layer
+    threefry splits are pure scalar-unit work that measurably dominates the
+    small-batch decode step (xprof: 18 us/step of u32 chains vs 21 us of
+    matmul at B=8)."""
+    for i, p in enumerate(params):
         x = jax.nn.relu(L.linear_apply(p, x))
-        if dropout_on:
+        if masks is not None:
+            x = x * masks[i]
+        elif dropout_on:
             rng, k = jax.random.split(rng)
             x = L.dropout(k, x, 0.5)
     return x
+
+
+def _prenet_masks(key, n, shape, dtype, rate: float = 0.5):
+    """n scaled keep-masks [n, *shape] from a single key."""
+    keep = 1.0 - rate
+    m = jax.random.bernoulli(key, keep, (n,) + tuple(shape))
+    return m.astype(dtype) / jnp.asarray(keep, dtype)
 
 
 def postnet_apply(params, bn_state, x, *, training: bool, rng):
@@ -255,16 +271,25 @@ class DecoderCarry(NamedTuple):
     rng: jnp.ndarray
 
 
-def _stack_stream_params(dp):
+def _stack_stream_params(dp, quant: str = ""):
     """Stack the per-stream decoder params on a leading axis and prepare
     the LSTM weights outside the scan (L.lstm_prepare): returns
-    (attention_rnn_s_prepared, attention_s, decoder_rnn_prepared)."""
+    (attention_rnn_s_prepared, attention_s, decoder_rnn_prepared).
+
+    With ``quant="int8"`` the prepared LSTM weights are quantized to
+    weight-only int8 (per-output-channel scales) — done here, outside the
+    loop, so the loop body streams int8 instead of bf16/f32 weights."""
     rnn_s = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]),
                                    L.lstm_prepare(dp["attention_rnn"]),
                                    L.lstm_prepare(dp["attention_rnn_bert"]))
     att_s = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]),
                                    dp["attention"], dp["attention_bert"])
-    return rnn_s, att_s, L.lstm_prepare(dp["decoder_rnn"])
+    dec = L.lstm_prepare(dp["decoder_rnn"])
+    if quant == "int8":
+        rnn_s = L.lstm_quantize_stacked(rnn_s)
+        dec = L.lstm_quantize_stacked(
+            jax.tree_util.tree_map(lambda a: a[None], dec))
+    return rnn_s, att_s, dec
 
 
 def _pad_T(x, T, axis=-1, value=0.0):
@@ -296,20 +321,31 @@ def _decode_step(rnn_s, att_s, dec_rnn, dp, cfg: TacotronConfig,
     both streams batched.  pre_ts: [2, B, prenet_dim] prenet outputs;
     memory_s/proc_mem_s: [2, B, T, .]; mask_s: [2, B, T] or None.
     Returns (new_carry, hidden_ctx [B, dec+2*embed], w_s [2, B, T])."""
-    rng = carry.rng
-    new_rng, k_att, k_attc, k_dec, k_noise = jax.random.split(rng, 5)
+    # Key splits are pure sequential scalar work (threefry u32 chains) that
+    # xprof shows costing ~18 us/step at B=8 — only split when the keys are
+    # actually consumed (training: LSTM dropout + SMA noise).
+    if training:
+        new_rng, k_att, k_attc, k_dec, k_noise = jax.random.split(
+            carry.rng, 5)
+        noise_keys = jax.random.split(k_noise, 2)
+    else:
+        new_rng = carry.rng
+        noise_keys = jnp.stack([carry.rng, carry.rng])
 
     # both attention LSTMs as one batched cell; dropout on h AND c
     # (reference model.py:340-346 drops both).
-    h_att, c_att = jax.vmap(L.lstm_cell_prepared)(
-        rnn_s, jnp.concatenate([pre_ts, carry.ctx], -1),
-        carry.h_att, carry.c_att)
+    att_in = jnp.concatenate([pre_ts, carry.ctx], -1)
+    if "w_q" in rnn_s:
+        h_att, c_att = L.lstm_cell_quant_stacked(rnn_s, att_in,
+                                                 carry.h_att, carry.c_att)
+    else:
+        h_att, c_att = jax.vmap(L.lstm_cell_prepared)(
+            rnn_s, att_in, carry.h_att, carry.c_att)
     if training:
         h_att = L.dropout(k_att, h_att, cfg.p_attention_dropout)
         c_att = L.dropout(k_attc, c_att, cfg.p_attention_dropout)
 
     w_cat_s = jnp.stack([carry.w, carry.w_cum], axis=2)  # [2, B, 2, T]
-    noise_keys = jax.random.split(k_noise, 2)
 
     def one_stream(p, q, mem, pm, wc, m, st, key):
         return A.attention_step(cfg.attention, p, q, mem, pm, wc, m, st,
@@ -325,8 +361,13 @@ def _decode_step(rnn_s, att_s, dec_rnn, dp, cfg: TacotronConfig,
     # reference concat order (model.py:362): h_phone, ctx_phone, h_bert,
     # ctx_bert
     dec_in = jnp.concatenate([h_att[0], ctx[0], h_att[1], ctx[1]], -1)
-    h_dec, c_dec = L.lstm_cell_prepared(dec_rnn, dec_in,
-                                        carry.h_dec, carry.c_dec)
+    if "w_q" in dec_rnn:
+        h1, c1 = L.lstm_cell_quant_stacked(
+            dec_rnn, dec_in[None], carry.h_dec[None], carry.c_dec[None])
+        h_dec, c_dec = h1[0], c1[0]
+    else:
+        h_dec, c_dec = L.lstm_cell_prepared(dec_rnn, dec_in,
+                                            carry.h_dec, carry.c_dec)
     if training:
         kd1, kd2 = jax.random.split(k_dec)
         h_dec = L.dropout(kd1, h_dec, cfg.p_decoder_dropout)
@@ -431,7 +472,7 @@ def decoder_infer(dp, cfg: TacotronConfig, memory, memory_b, *, rng,
 
     T_text, T_sub = memory.shape[1], memory_b.shape[1]
     T = max(T_text, T_sub)
-    rnn_s, att_s, dec_rnn = _stack_stream_params(dp)
+    rnn_s, att_s, dec_rnn = _stack_stream_params(dp, cfg.decode_quant)
     memory_s = jnp.stack([_pad_T(memory, T, axis=1),
                           _pad_T(memory_b, T, axis=1)])
     proc_mem_s = jnp.stack([
@@ -465,11 +506,18 @@ def decoder_infer(dp, cfg: TacotronConfig, memory, memory_b, *, rng,
         return (s["step"] < S) & ~jnp.all(s["finished"])
 
     def body(s):
-        rng, k_pre, k_pre_b = jax.random.split(s["rng"], 3)
-        pre_t = prenet_apply(dp["prenet"], s["prev"], k_pre,
-                             cfg.prenet_dropout_always_on)
-        pre_b_t = prenet_apply(dp["prenet_bert"], s["prev"], k_pre_b,
-                               cfg.prenet_dropout_always_on)
+        if cfg.prenet_dropout_always_on:
+            # ONE split + ONE bits-gen per step for all 4 prenet masks
+            # (2 streams x 2 layers) — see prenet_apply docstring.
+            rng, k_masks = jax.random.split(s["rng"])
+            m = _prenet_masks(k_masks, 4, (B, cfg.prenet_dim), dtype)
+            masks, masks_b = (m[0], m[1]), (m[2], m[3])
+        else:
+            rng, masks, masks_b = s["rng"], None, None
+        pre_t = prenet_apply(dp["prenet"], s["prev"], None,
+                             cfg.prenet_dropout_always_on, masks)
+        pre_b_t = prenet_apply(dp["prenet_bert"], s["prev"], None,
+                               cfg.prenet_dropout_always_on, masks_b)
         pre_ts = jnp.stack([pre_t, pre_b_t])
         carry, hidden_ctx, w_s = _decode_step(
             rnn_s, att_s, dec_rnn, dp, cfg, s["carry"], pre_ts, memory_s,
@@ -519,8 +567,16 @@ def decoder_infer(dp, cfg: TacotronConfig, memory, memory_b, *, rng,
 # ---------------------------------------------------------------------------
 
 def _encode_stream(params, bn_state, emb_table, conv_key, ids, lengths, cls,
-                   converter, *, training, rng):
-    """embedding → encoder → concat CLS → linear converter → memory."""
+                   converter, *, training, rng, dtype=jnp.float32):
+    """embedding → encoder → concat CLS → linear converter → memory.
+
+    ``dtype`` is the mixed-precision compute dtype: params and activations
+    are cast once at entry (gradients flow back to the f32 master params
+    through the casts; batchnorm statistics stay f32 inside
+    L.batchnorm_apply)."""
+    emb_table = emb_table.astype(dtype)
+    params = _cast_floats(params, dtype)
+    converter = _cast_floats(converter, dtype)
     emb = emb_table[ids]                     # [B, T, 512]
     emb = jnp.swapaxes(emb, 1, 2)            # [B, 512, T]
     enc, new_bn = encoder_apply(params, bn_state, emb, lengths,
@@ -557,25 +613,28 @@ def forward(params, bn_state, cfg: TacotronConfig, batch, *, training: bool,
     Returns (outputs dict, new_bn_state).
     """
     rng, k_enc, k_enc_b, k_dec, k_post = jax.random.split(rng, 5)
+    dtype = _compute_dtype(cfg)
 
     memory, bn_enc = _encode_stream(
         params["encoder"], bn_state["encoder"], params["embedding"], None,
         batch["text"], batch["text_lengths"], batch["cls_phone"],
-        params["linear_converter"], training=training, rng=k_enc)
+        params["linear_converter"], training=training, rng=k_enc,
+        dtype=dtype)
     memory_b, bn_enc_b = _encode_stream(
         params["encoder_sub"], bn_state["encoder_sub"],
         params["embedding_sub"], None, batch["sub"], batch["sub_lengths"],
         batch["cls_sub"], params["linear_converter_sub"], training=training,
-        rng=k_enc_b)
+        rng=k_enc_b, dtype=dtype)
 
     mel, gate, align, align_b = decoder_teacher_forced(
         params["decoder"], cfg, memory, memory_b, batch["mels"],
         batch["text_lengths"], batch["sub_lengths"], training=training,
         rng=k_dec)
 
-    residual, bn_post = postnet_apply(params["postnet"], bn_state["postnet"],
-                                      mel, training=training, rng=k_post)
-    mel_postnet = mel + residual
+    residual, bn_post = postnet_apply(
+        _cast_floats(params["postnet"], dtype), bn_state["postnet"],
+        mel.astype(dtype), training=training, rng=k_post)
+    mel_postnet = mel + residual.astype(jnp.float32)
 
     mel, mel_postnet, gate = parse_output(
         mel, mel_postnet, gate, batch.get("output_lengths"),
@@ -595,23 +654,26 @@ def infer(params, bn_state, cfg: TacotronConfig, text, sub, cls_phone,
     model.py:562-582).  Accepts an optional batch with lengths for padded
     batch inference (reference only supports B=1, unmasked)."""
     rng, k_enc, k_enc_b, k_dec, k_post = jax.random.split(rng, 5)
+    dtype = _compute_dtype(cfg)
 
     memory, _ = _encode_stream(
         params["encoder"], bn_state["encoder"], params["embedding"], None,
         text, text_lengths, cls_phone, params["linear_converter"],
-        training=False, rng=k_enc)
+        training=False, rng=k_enc, dtype=dtype)
     memory_b, _ = _encode_stream(
         params["encoder_sub"], bn_state["encoder_sub"],
         params["embedding_sub"], None, sub, sub_lengths, cls_sub,
-        params["linear_converter_sub"], training=False, rng=k_enc_b)
+        params["linear_converter_sub"], training=False, rng=k_enc_b,
+        dtype=dtype)
 
     out = decoder_infer(params["decoder"], cfg, memory, memory_b, rng=k_dec,
                         max_steps=max_steps, gate_threshold=gate_threshold,
                         text_lengths=text_lengths, sub_lengths=sub_lengths)
 
-    residual, _ = postnet_apply(params["postnet"], bn_state["postnet"],
-                                out["mel"], training=False, rng=k_post)
-    out["mel_postnet"] = out["mel"] + residual
+    residual, _ = postnet_apply(
+        _cast_floats(params["postnet"], dtype), bn_state["postnet"],
+        out["mel"].astype(dtype), training=False, rng=k_post)
+    out["mel_postnet"] = out["mel"] + residual.astype(jnp.float32)
     valid = sequence_mask(out["mel_lengths"], out["mel"].shape[-1])
     out["mel_postnet"] = out["mel_postnet"] * valid[:, None, :]
     return out

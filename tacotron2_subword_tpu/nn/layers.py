@@ -84,7 +84,12 @@ def conv1d_init(key, in_ch: int, out_ch: int, kernel_size: int,
 
 def conv1d_apply(p, x, stride: int = 1, padding: Optional[int] = None,
                  dilation: int = 1, groups: int = 1):
-    """x: [B, C_in, T] → [B, C_out, T'] (same NCH layout as the reference)."""
+    """x: [B, C_in, T] → [B, C_out, T'] (same NCH layout as the reference).
+
+    For bf16 inputs the conv output dtype is bf16 (the MXU still accumulates
+    in f32 internally); requesting an f32 output there breaks the conv
+    gradient (lax conv transpose rules require lhs/rhs dtypes to match the
+    cotangent dtype)."""
     w = p["w"]
     if padding is None:
         padding = dilation * (w.shape[-1] - 1) // 2
@@ -95,7 +100,7 @@ def conv1d_apply(p, x, stride: int = 1, padding: Optional[int] = None,
         rhs_dilation=(dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
     if "b" in p:
         y = y + p["b"][None, :, None]
@@ -133,7 +138,7 @@ def conv_transpose1d_apply(p, x, stride: int, padding: int = 0):
         padding=[(k - 1 - padding, k - 1 - padding)],
         lhs_dilation=(stride,),
         dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,  # see conv1d_apply docstring
     )
     if "b" in p:
         y = y + p["b"][None, :, None]
@@ -260,11 +265,8 @@ def lstm_prepare(p):
             "b": p["b_ih"] + p["b_hh"]}
 
 
-def lstm_cell_prepared(pp, x, h, c):
-    """One LSTM step with prepared params {w: [in+H, 4H], b: [4H]}."""
-    gates = jnp.dot(jnp.concatenate([x, h], axis=-1), pp["w"],
-                    preferred_element_type=jnp.float32)
-    gates = gates + pp["b"]
+def _lstm_nonlin(gates, c, out_dtype):
+    """Shared (i, f, g, o) gate nonlinearity; gates f32 [..., 4H]."""
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i = jax.nn.sigmoid(i)
     f = jax.nn.sigmoid(f)
@@ -272,7 +274,34 @@ def lstm_cell_prepared(pp, x, h, c):
     o = jax.nn.sigmoid(o)
     c_new = f * c.astype(jnp.float32) + i * g
     h_new = o * jnp.tanh(c_new)
-    return h_new.astype(x.dtype), c_new.astype(x.dtype)
+    return h_new.astype(out_dtype), c_new.astype(out_dtype)
+
+
+def lstm_cell_prepared(pp, x, h, c):
+    """One LSTM step with prepared params {w: [in+H, 4H], b: [4H]}."""
+    gates = jnp.dot(jnp.concatenate([x, h], axis=-1), pp["w"],
+                    preferred_element_type=jnp.float32)
+    return _lstm_nonlin(gates + pp["b"], c, x.dtype)
+
+
+def lstm_quantize_stacked(pp):
+    """Quantize prepared+stacked LSTM params {w: [S, K, 4H], b: [S, 4H]} to
+    weight-only int8 with per-output-channel scales (ops/quant.py).  Call
+    OUTSIDE the decode loop (like lstm_prepare)."""
+    from tacotron2_subword_tpu.ops import quant as Q
+    w_q, scale = Q.quantize_int8(pp["w"], axis=1)
+    return {"w_q": w_q, "scale": scale,
+            "b": pp["b"].astype(jnp.float32)}
+
+
+def lstm_cell_quant_stacked(pq, x, h, c):
+    """Stacked int8 LSTM step: x/h/c [S, B, .]; pq from
+    lstm_quantize_stacked.  The int8 weight stream is the point: half the
+    per-step HBM traffic of bf16."""
+    from tacotron2_subword_tpu.ops import quant as Q
+    xh = jnp.concatenate([x, h], axis=-1)
+    gates = Q.matmul_dequant_int8(xh, pq["w_q"], pq["scale"])
+    return _lstm_nonlin(gates + pq["b"][:, None, :], c, x.dtype)
 
 
 def lstm_cell(p, x, h, c):

@@ -53,6 +53,32 @@ def test_train_step_reduces_loss():
     assert int(state.step) == 8
 
 
+def test_train_step_mixed_precision_bf16():
+    """compute_dtype=bfloat16 runs the WHOLE training forward (encoder,
+    decoder scan, postnet) in bf16 while master params, optimizer state and
+    gradients stay float32; loss must still fall when overfitting a batch."""
+    cfg = SMALL.replace(parity_mode=False, compute_dtype="bfloat16")
+    state, tx = T.create_train_state(jax.random.PRNGKey(0), cfg)
+    batch = full_batch(cfg, T_out=8)
+    step = jax.jit(T.train_step, static_argnums=(3, 4))
+    first = None
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i),
+                              cfg, tx)
+        if first is None:
+            first = float(metrics["total"])
+            assert np.isfinite(first)
+    assert float(metrics["skipped"]) == 0.0
+    assert float(metrics["total"]) < first
+    # master weights and optimizer moments must remain f32
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(state.opt_state):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                     jnp.floating):
+            assert leaf.dtype == jnp.float32
+
+
 def test_train_step_skips_nan_grads():
     cfg = SMALL
     state, tx = T.create_train_state(jax.random.PRNGKey(0), cfg)
