@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 
-def run(backend: str, batch: int, steps: int, repeats: int = 3):
+def run(backend: str, batch: int, steps: int, repeats: int = 6):
     import jax
     jax.config.update("jax_platforms", backend)
     import jax.numpy as jnp
@@ -55,13 +55,15 @@ def run(backend: str, batch: int, steps: int, repeats: int = 3):
     # block_until_ready before remote completion.
     np.asarray(jfn(params, bn, text, sub, cls_p, cls_s,
                    jax.random.PRNGKey(1)))
-    times = []
-    for i in range(repeats):
-        t0 = time.perf_counter()
-        np.asarray(jfn(params, bn, text, sub, cls_p, cls_s,
-                       jax.random.PRNGKey(2 + i)))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    # Steady-state throughput: enqueue all calls back-to-back (dispatch is
+    # async) and fetch at the end, so the fixed per-call dispatch round-trip
+    # overlaps device compute — exactly how a serving loop would run.
+    t0 = time.perf_counter()
+    outs = [jfn(params, bn, text, sub, cls_p, cls_s,
+                jax.random.PRNGKey(2 + i)) for i in range(repeats)]
+    for o in outs:
+        np.asarray(o)
+    dt = (time.perf_counter() - t0) / repeats
     audio_sec = batch * steps * cfg.hop_length / cfg.sampling_rate
     return audio_sec / dt
 

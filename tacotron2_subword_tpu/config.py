@@ -85,6 +85,14 @@ class TacotronConfig:
     # "int8").  Inference-only: halves the per-step HBM weight stream that
     # bounds autoregressive decode (see ops/quant.py).
     decode_quant: str = ""
+    # Unroll factor for the teacher-forced decoder scan.  Measured neutral-
+    # to-negative on v5e once custom_decoder_vjp removes the in-loop weight
+    # gradient accumulators; kept as a tuning knob.
+    decoder_scan_unroll: int = 1
+    # Hand-routed scan VJP (models/tacotron2.py _tf_scan_custom): computes
+    # the big LSTM weight grads as one dense matmul after the backward scan
+    # instead of a ~60 MB read-modify-write accumulator per mel frame.
+    custom_decoder_vjp: bool = True
 
     def replace(self, **kw: Any) -> "TacotronConfig":
         return dataclasses.replace(self, **kw)

@@ -184,9 +184,15 @@ def _context(weights, memory):
 
 def attention_step(variant: str, params, query, memory, processed_memory,
                    weights_cat, mask, state, *, training: bool = False,
-                   noise_key=None):
+                   noise_key=None, noise=None):
     """One attention step.  mask is [B, T] True=valid (or None).
-    Returns (context [B, D], weights [B, T], new_state)."""
+    Returns (context [B, D], weights [B, T], new_state).
+
+    SMA training noise comes either from ``noise_key`` (drawn here) or a
+    precomputed additive ``noise`` [B, T] — the decoder scan precomputes all
+    steps' noise in one draw outside the loop because per-step threefry
+    splits are measurably expensive scalar work (see models/tacotron2.py).
+    """
     if variant == "LocationSensitiveAttention":
         e = _masked(_additive_energies(params, query, processed_memory,
                                        weights_cat), mask)
@@ -215,7 +221,9 @@ def attention_step(variant: str, params, query, memory, processed_memory,
     if variant == "StepwiseMonotonicAttention":
         e = _additive_energies(params, query, processed_memory)
         e = _masked(e, mask)
-        if training and noise_key is not None:
+        if training and noise is not None:
+            e = e + noise.astype(e.dtype)
+        elif training and noise_key is not None:
             e = e + (jax.random.normal(noise_key, e.shape, e.dtype)
                      * SMA_SIGMOID_NOISE)
         p_i = jax.nn.sigmoid(e)

@@ -29,10 +29,12 @@ the reference initialises its torch modules.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tacotron2_subword_tpu.config import TacotronConfig
 from tacotron2_subword_tpu.models import attention as A
@@ -268,7 +270,6 @@ class DecoderCarry(NamedTuple):
     w: jnp.ndarray          # [2, B, T]
     w_cum: jnp.ndarray      # [2, B, T]
     att_state: Dict[str, jnp.ndarray]  # leaves stacked on axis 0
-    rng: jnp.ndarray
 
 
 def _stack_stream_params(dp, quant: str = ""):
@@ -298,7 +299,7 @@ def _pad_T(x, T, axis=-1, value=0.0):
     return jnp.pad(x, pad, constant_values=value) if T > x.shape[axis] else x
 
 
-def _decoder_carry_init(cfg: TacotronConfig, B: int, T: int, rng,
+def _decoder_carry_init(cfg: TacotronConfig, B: int, T: int,
                         dtype=jnp.float32) -> DecoderCarry:
     z = lambda *s: jnp.zeros(s, dtype)
     state0 = _cast_floats(A.init_state(cfg.attention, B, T), dtype)
@@ -310,28 +311,27 @@ def _decoder_carry_init(cfg: TacotronConfig, B: int, T: int, rng,
         w=z(2, B, T), w_cum=z(2, B, T),
         att_state=jax.tree_util.tree_map(
             lambda s: jnp.stack([s, s]), state0),
-        rng=rng,
     )
 
 
-def _decode_step(rnn_s, att_s, dec_rnn, dp, cfg: TacotronConfig,
+def _decode_step(rnn_s, att_s, dec_rnn, cfg: TacotronConfig,
                  carry: DecoderCarry,
-                 pre_ts, memory_s, proc_mem_s, mask_s, training: bool):
+                 pre_ts, memory_s, proc_mem_s, mask_s, training: bool,
+                 extras=None, taps=None):
     """One decoder step (reference Decoder.decode, model.py:322-390) with
     both streams batched.  pre_ts: [2, B, prenet_dim] prenet outputs;
     memory_s/proc_mem_s: [2, B, T, .]; mask_s: [2, B, T] or None.
-    Returns (new_carry, hidden_ctx [B, dec+2*embed], w_s [2, B, T])."""
-    # Key splits are pure sequential scalar work (threefry u32 chains) that
-    # xprof shows costing ~18 us/step at B=8 — only split when the keys are
-    # actually consumed (training: LSTM dropout + SMA noise).
-    if training:
-        new_rng, k_att, k_attc, k_dec, k_noise = jax.random.split(
-            carry.rng, 5)
-        noise_keys = jax.random.split(k_noise, 2)
-    else:
-        new_rng = carry.rng
-        noise_keys = jnp.stack([carry.rng, carry.rng])
+    Returns (new_carry, hidden_ctx [B, dec+2*embed], w_s [2, B, T],
+             xh = (att_in, dec_in) LSTM input activations).
 
+    NO randomness is drawn inside the step: per-step threefry key splits are
+    sequential scalar-unit work (xprof: 18 us/step at B=8).  Training
+    randomness (LSTM dropout masks, SMA sigmoid noise) arrives precomputed
+    in ``extras`` — one draw for all steps, threaded through the scan's xs.
+
+    ``taps``: optional ([2, B, 4H], [B, 4H]) zero-valued additions to the
+    two big LSTMs' gates, used by the custom scan VJP (see _tf_scan_bwd).
+    """
     # both attention LSTMs as one batched cell; dropout on h AND c
     # (reference model.py:340-346 drops both).
     att_in = jnp.concatenate([pre_ts, carry.ctx], -1)
@@ -340,21 +340,31 @@ def _decode_step(rnn_s, att_s, dec_rnn, dp, cfg: TacotronConfig,
                                                  carry.h_att, carry.c_att)
     else:
         h_att, c_att = jax.vmap(L.lstm_cell_prepared)(
-            rnn_s, att_in, carry.h_att, carry.c_att)
-    if training:
-        h_att = L.dropout(k_att, h_att, cfg.p_attention_dropout)
-        c_att = L.dropout(k_attc, c_att, cfg.p_attention_dropout)
+            rnn_s, att_in, carry.h_att, carry.c_att,
+            None if taps is None else taps[0])
+    if training and extras is not None:
+        h_att = h_att * extras["att_h"]
+        c_att = c_att * extras["att_c"]
 
     w_cat_s = jnp.stack([carry.w, carry.w_cum], axis=2)  # [2, B, 2, T]
 
-    def one_stream(p, q, mem, pm, wc, m, st, key):
-        return A.attention_step(cfg.attention, p, q, mem, pm, wc, m, st,
-                                training=training, noise_key=key)
-
-    in_axes = (0, 0, 0, 0, 0, None if mask_s is None else 0, 0, 0)
-    ctx, w, att_state = jax.vmap(one_stream, in_axes=in_axes)(
-        att_s, h_att, memory_s, proc_mem_s, w_cat_s, mask_s,
-        carry.att_state, noise_keys)
+    mask_ax = None if mask_s is None else 0
+    if training and extras is not None:
+        def one_stream(p, q, mem, pm, wc, m, st, nz):
+            return A.attention_step(cfg.attention, p, q, mem, pm, wc, m, st,
+                                    training=True, noise=nz)
+        ctx, w, att_state = jax.vmap(
+            one_stream, in_axes=(0, 0, 0, 0, 0, mask_ax, 0, 0))(
+                att_s, h_att, memory_s, proc_mem_s, w_cat_s, mask_s,
+                carry.att_state, extras["noise"])
+    else:
+        def one_stream(p, q, mem, pm, wc, m, st):
+            return A.attention_step(cfg.attention, p, q, mem, pm, wc, m, st,
+                                    training=training)
+        ctx, w, att_state = jax.vmap(
+            one_stream, in_axes=(0, 0, 0, 0, 0, mask_ax, 0))(
+                att_s, h_att, memory_s, proc_mem_s, w_cat_s, mask_s,
+                carry.att_state)
 
     w_cum = carry.w_cum + w
 
@@ -366,19 +376,121 @@ def _decode_step(rnn_s, att_s, dec_rnn, dp, cfg: TacotronConfig,
             dec_rnn, dec_in[None], carry.h_dec[None], carry.c_dec[None])
         h_dec, c_dec = h1[0], c1[0]
     else:
-        h_dec, c_dec = L.lstm_cell_prepared(dec_rnn, dec_in,
-                                            carry.h_dec, carry.c_dec)
-    if training:
-        kd1, kd2 = jax.random.split(k_dec)
-        h_dec = L.dropout(kd1, h_dec, cfg.p_decoder_dropout)
-        c_dec = L.dropout(kd2, c_dec, cfg.p_decoder_dropout)
+        h_dec, c_dec = L.lstm_cell_prepared(
+            dec_rnn, dec_in, carry.h_dec, carry.c_dec,
+            None if taps is None else taps[1])
+    if training and extras is not None:
+        h_dec = h_dec * extras["dec_h"]
+        c_dec = c_dec * extras["dec_c"]
 
     hidden_ctx = jnp.concatenate([h_dec, ctx[0], ctx[1]], -1)
 
     new_carry = DecoderCarry(
         h_att=h_att, c_att=c_att, h_dec=h_dec, c_dec=c_dec, ctx=ctx,
-        w=w, w_cum=w_cum, att_state=att_state, rng=new_rng)
-    return new_carry, hidden_ctx, w
+        w=w, w_cum=w_cum, att_state=att_state)
+    # full [x, h_prev] LSTM inputs — what dW = xhᵀ dG needs (XLA CSEs the
+    # duplicate concat with the one inside the cells)
+    xh_att = jnp.concatenate([att_in, carry.h_att], -1)
+    xh_dec = jnp.concatenate([dec_in, carry.h_dec], -1)
+    return new_carry, hidden_ctx, w, (xh_att, xh_dec)
+
+
+def _tf_scan_plain(cfg: TacotronConfig, training: bool, rnn_s, att_s,
+                   dec_rnn, memory_s, proc_mem_s, mask_s, xs,
+                   save_xh: bool = False):
+    """The teacher-forced decode loop as one lax.scan.  xs carries the
+    per-step inputs: "pre" prenet outputs, training masks/noise, and
+    (backward only) the gradient taps."""
+    B, T = memory_s.shape[1], memory_s.shape[2]
+    carry0 = _decoder_carry_init(cfg, B, T, memory_s.dtype)
+
+    def step(carry, x_t):
+        extras = {k: v for k, v in x_t.items()
+                  if k not in ("pre", "tap_att", "tap_dec")} or None
+        taps = ((x_t["tap_att"], x_t["tap_dec"])
+                if "tap_att" in x_t else None)
+        carry, hc, w_s, xh = _decode_step(
+            rnn_s, att_s, dec_rnn, cfg, carry, x_t["pre"], memory_s,
+            proc_mem_s, mask_s, training, extras, taps)
+        return carry, ((hc, w_s, xh) if save_xh else (hc, w_s))
+
+    _, ys = jax.lax.scan(step, carry0, xs,
+                         unroll=cfg.decoder_scan_unroll)
+    return ys
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tf_scan_custom(cfg: TacotronConfig, big, att_s, memory_s, proc_mem_s,
+                    mask_s, xs):
+    """Teacher-forced decode scan with a HAND-ROUTED weight gradient.
+
+    Why: jax.grad of a scan accumulates the gradient of every captured
+    weight INSIDE the backward loop — for the two big LSTM weights that is
+    a [2,1792,4096] + [4096,4096] read-modify-write per mel frame, which
+    xprof shows dominating the whole training step (15.7 of 19.9 ms of
+    backward at B=8/T=128).  Here the backward instead:
+
+      1. stop-gradients the big weights and adds zero-valued "taps" to the
+         gates as scan inputs, so autodiff of the replayed scan yields the
+         per-step gate cotangents dG_t as the taps' cotangent — with NO
+         weight-sized accumulator in the loop;
+      2. computes dW = Σ_t xh_tᵀ dG_t as ONE dense matmul over the stacked
+         activations afterwards (f32 MXU accumulation — also *more*
+         precise than the bf16 in-loop accumulator autodiff would use).
+
+    The forward is replayed inside the backward (all randomness lives in
+    xs, so the replay is bit-identical); that costs one extra forward scan
+    but removes ~60 MB/step of accumulator traffic.
+    """
+    return _tf_scan_plain(cfg, True, big["rnn"], att_s, big["dec"],
+                          memory_s, proc_mem_s, mask_s, xs)
+
+
+def _tf_scan_custom_fwd(cfg, big, att_s, memory_s, proc_mem_s, mask_s, xs):
+    out = _tf_scan_plain(cfg, True, big["rnn"], att_s, big["dec"],
+                         memory_s, proc_mem_s, mask_s, xs)
+    return out, (big, att_s, memory_s, proc_mem_s, mask_s, xs)
+
+
+def _tf_scan_custom_bwd(cfg, res, g):
+    big, att_s, memory_s, proc_mem_s, mask_s, xs = res
+    T_out, _, B = xs["pre"].shape[:3]
+    H4_att = big["rnn"]["w"].shape[-1]
+    H4_dec = big["dec"]["w"].shape[-1]
+    xs_tapped = dict(xs)
+    xs_tapped["tap_att"] = jnp.zeros((T_out, 2, B, H4_att), jnp.float32)
+    xs_tapped["tap_dec"] = jnp.zeros((T_out, B, H4_dec), jnp.float32)
+    stop_big = jax.tree_util.tree_map(jax.lax.stop_gradient, big)
+
+    def f(att_s_, mem_, pm_, xs_):
+        return _tf_scan_plain(cfg, True, stop_big["rnn"], att_s_,
+                              stop_big["dec"], mem_, pm_, mask_s, xs_,
+                              save_xh=True)
+
+    primals, vjp = jax.vjp(f, att_s, memory_s, proc_mem_s, xs_tapped)
+    _, _, (xh_att, xh_dec) = primals
+    zero_xh = (jnp.zeros_like(xh_att), jnp.zeros_like(xh_dec))
+    datt, dmem, dpm, dxs = vjp((g[0], g[1], zero_xh))
+    dg_att = dxs.pop("tap_att")   # [T, 2, B, 4H] = per-step gate cotangents
+    dg_dec = dxs.pop("tap_dec")   # [T, B, 4H]
+
+    # deferred weight grads: one dense matmul each, f32 accumulation
+    cast = lambda d, like: d.astype(like.dtype)
+    dW_att = jnp.einsum("tsbk,tsbn->skn", xh_att,
+                        dg_att.astype(xh_att.dtype),
+                        preferred_element_type=jnp.float32)
+    dW_dec = jnp.einsum("tbk,tbn->kn", xh_dec,
+                        dg_dec.astype(xh_dec.dtype),
+                        preferred_element_type=jnp.float32)
+    dbig = {"rnn": {"w": cast(dW_att, big["rnn"]["w"]),
+                    "b": cast(dg_att.sum((0, 2)), big["rnn"]["b"])},
+            "dec": {"w": cast(dW_dec, big["dec"]["w"]),
+                    "b": cast(dg_dec.sum((0, 1)), big["dec"]["b"])}}
+    dmask = np.zeros(mask_s.shape, dtype=jax.dtypes.float0)  # bool primal
+    return dbig, datt, dmem, dpm, dmask, dxs
+
+
+_tf_scan_custom.defvjp(_tf_scan_custom_fwd, _tf_scan_custom_bwd)
 
 
 def decoder_teacher_forced(dp, cfg: TacotronConfig, memory, memory_b, mels,
@@ -421,18 +533,44 @@ def decoder_teacher_forced(dp, cfg: TacotronConfig, memory, memory_b, mels,
     mask_s = jnp.stack([sequence_mask(text_lengths, T),
                         sequence_mask(sub_lengths, T)])
 
-    carry0 = _decoder_carry_init(cfg, B, T, k_scan, memory.dtype)
-
-    def step(carry, pre_ts):
-        carry, hidden_ctx, w_s = _decode_step(
-            rnn_s, att_s, dec_rnn, dp, cfg, carry, pre_ts, memory_s,
-            proc_mem_s, mask_s, training)
-        return carry, (hidden_ctx, w_s)
-
     # [T_out, 2, B, prenet_dim]
-    xs = jnp.stack([jnp.swapaxes(pre, 0, 1), jnp.swapaxes(pre_b, 0, 1)],
-                   axis=1)
-    _, (hidden_ctx, ws_s) = jax.lax.scan(step, carry0, xs)
+    xs = {"pre": jnp.stack([jnp.swapaxes(pre, 0, 1),
+                            jnp.swapaxes(pre_b, 0, 1)], axis=1)}
+    if training:
+        # ALL per-step randomness drawn here, once, outside the scan
+        # (scaled keep-masks for the LSTM dropouts + SMA sigmoid noise);
+        # see the _decode_step docstring for why.
+        ka, kb, kc, kd, kn = jax.random.split(k_scan, 5)
+        def keep_masks(k, shape, rate):
+            kp = 1.0 - rate
+            return (jax.random.bernoulli(k, kp, shape).astype(dtype)
+                    / jnp.asarray(kp, dtype))
+        A_dim, D_dim = cfg.attention_rnn_dim, cfg.decoder_rnn_dim
+        xs["att_h"] = keep_masks(ka, (T_out, 2, B, A_dim),
+                                 cfg.p_attention_dropout)
+        xs["att_c"] = keep_masks(kb, (T_out, 2, B, A_dim),
+                                 cfg.p_attention_dropout)
+        xs["dec_h"] = keep_masks(kc, (T_out, B, D_dim),
+                                 cfg.p_decoder_dropout)
+        xs["dec_c"] = keep_masks(kd, (T_out, B, D_dim),
+                                 cfg.p_decoder_dropout)
+        # only SMA consumes the noise; skip the draw for other variants
+        if cfg.attention == "StepwiseMonotonicAttention":
+            xs["noise"] = (jax.random.normal(kn, (T_out, 2, B, T), dtype)
+                           * A.SMA_SIGMOID_NOISE)
+        else:
+            xs["noise"] = jnp.zeros((T_out, 2, B, T), dtype)
+
+    if training and cfg.custom_decoder_vjp and "w_q" not in rnn_s:
+        # custom VJP: defers the big LSTM weight gradients out of the scan
+        # backward (see _tf_scan_custom) — the dominant train-step cost.
+        hidden_ctx, ws_s = _tf_scan_custom(
+            cfg, {"rnn": rnn_s, "dec": dec_rnn}, att_s, memory_s,
+            proc_mem_s, mask_s, xs)
+    else:
+        hidden_ctx, ws_s = _tf_scan_plain(
+            cfg, training, rnn_s, att_s, dec_rnn, memory_s, proc_mem_s,
+            mask_s, xs)
     ws = ws_s[:, 0, :, :T_text]
     ws_b = ws_s[:, 1, :, :T_sub]
 
@@ -489,8 +627,7 @@ def decoder_infer(dp, cfg: TacotronConfig, memory, memory_b, *, rng,
         mask_s = jnp.stack([sequence_mask(text_lengths, T),
                             sequence_mask(sub_lengths, T)])
 
-    rng, k_carry = jax.random.split(rng)
-    carry0 = _decoder_carry_init(cfg, B, T, k_carry, memory.dtype)
+    carry0 = _decoder_carry_init(cfg, B, T, memory.dtype)
 
     bufs0 = {
         "mel": jnp.zeros((S, B, M), memory.dtype),
@@ -519,8 +656,8 @@ def decoder_infer(dp, cfg: TacotronConfig, memory, memory_b, *, rng,
         pre_b_t = prenet_apply(dp["prenet_bert"], s["prev"], None,
                                cfg.prenet_dropout_always_on, masks_b)
         pre_ts = jnp.stack([pre_t, pre_b_t])
-        carry, hidden_ctx, w_s = _decode_step(
-            rnn_s, att_s, dec_rnn, dp, cfg, s["carry"], pre_ts, memory_s,
+        carry, hidden_ctx, w_s, _ = _decode_step(
+            rnn_s, att_s, dec_rnn, cfg, s["carry"], pre_ts, memory_s,
             proc_mem_s, mask_s, training=False)
         mel_t = L.linear_apply(dp["linear_projection"], hidden_ctx)
         gate_t = L.linear_apply(dp["gate_layer"], hidden_ctx)[..., 0]

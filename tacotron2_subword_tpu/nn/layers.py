@@ -277,11 +277,19 @@ def _lstm_nonlin(gates, c, out_dtype):
     return h_new.astype(out_dtype), c_new.astype(out_dtype)
 
 
-def lstm_cell_prepared(pp, x, h, c):
-    """One LSTM step with prepared params {w: [in+H, 4H], b: [4H]}."""
+def lstm_cell_prepared(pp, x, h, c, tap=None):
+    """One LSTM step with prepared params {w: [in+H, 4H], b: [4H]}.
+
+    ``tap`` optionally adds a (normally zero) [.., 4H] term to the gates —
+    the gradient-tap used by the decoder's custom scan VJP to read per-step
+    gate cotangents without accumulating full weight gradients inside the
+    loop (models/tacotron2.py)."""
     gates = jnp.dot(jnp.concatenate([x, h], axis=-1), pp["w"],
                     preferred_element_type=jnp.float32)
-    return _lstm_nonlin(gates + pp["b"], c, x.dtype)
+    gates = gates + pp["b"]
+    if tap is not None:
+        gates = gates + tap
+    return _lstm_nonlin(gates, c, x.dtype)
 
 
 def lstm_quantize_stacked(pp):

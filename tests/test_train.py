@@ -79,6 +79,31 @@ def test_train_step_mixed_precision_bf16():
             assert leaf.dtype == jnp.float32
 
 
+def test_custom_decoder_vjp_matches_autodiff():
+    """The hand-routed scan VJP (models/tacotron2.py _tf_scan_custom must
+    produce the same gradients as plain jax.grad of the scan — both paths
+    consume identical precomputed randomness, so this is exact up to f32
+    summation order."""
+    from tacotron2_subword_tpu.models import tacotron2 as M
+    cfg_c = SMALL
+    cfg_p = SMALL.replace(custom_decoder_vjp=False)
+    state, _ = T.create_train_state(jax.random.PRNGKey(0), cfg_c)
+    batch = full_batch(cfg_c, T_out=8)
+
+    def grads(cfg):
+        def loss_fn(params):
+            out, _ = M.forward(params, state.bn_state, cfg, batch,
+                               training=True, rng=jax.random.PRNGKey(7))
+            return T.tacotron2_loss(out, batch, cfg, 0)["total"]
+        return jax.grad(loss_fn)(state.params)
+
+    flat_c = jax.tree_util.tree_leaves(grads(cfg_c))
+    flat_p = jax.tree_util.tree_leaves(grads(cfg_p))
+    for a, b in zip(flat_c, flat_p):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, atol=1e-5 * (np.abs(b).max() + 1))
+
+
 def test_train_step_skips_nan_grads():
     cfg = SMALL
     state, tx = T.create_train_state(jax.random.PRNGKey(0), cfg)

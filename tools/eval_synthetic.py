@@ -1,0 +1,104 @@
+"""Quality evaluation of a trained checkpoint on the synthetic dataset
+(tools/make_synthetic_dataset.py): free-running inference from phone IDs,
+then mel soft-DTW + MCD vs ground truth (the reference's acceptance metrics,
+evaluation.py:70-117 / softdtw.py:75-97, applied at mel level since the
+synthetic corpus has no recorded audio).
+
+Usage: python tools/eval_synthetic.py --data /tmp/synth_data \
+           --checkpoint /tmp/run/checkpoint_best --hparams "[...]" \
+           [--n 16] [--out-csv eval.csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--hparams", default=None)
+    ap.add_argument("--n", type=int, default=16)
+    ap.add_argument("--max-steps", type=int, default=256)
+    ap.add_argument("--out-csv", default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from tacotron2_subword_tpu.config import create_config
+    from tacotron2_subword_tpu import train_lib as T
+    from tacotron2_subword_tpu.models import tacotron2 as M
+    from tacotron2_subword_tpu.ops import softdtw as SD
+    from tacotron2_subword_tpu.ops import stft as S
+    from tacotron2_subword_tpu.eval import metrics as EM
+    from tacotron2_subword_tpu.utils import checkpoint as CK
+
+    cfg = create_config(hparams_string=args.hparams)
+    state, _ = T.create_train_state(jax.random.PRNGKey(0), cfg)
+    state, _meta = CK.load_checkpoint(args.checkpoint, state)
+    print(f"loaded {args.checkpoint} at step {int(state.step)}")
+
+    base = os.path.join(args.data, "val")
+    rows = []
+    sdtw_vals, mcd_vals, len_err = [], [], []
+    for i in range(args.n):
+        dur = np.load(os.path.join(base, "durations", f"{i}.npy"))
+        text = jnp.asarray(dur[:, 0][None])
+        sub = jnp.asarray(np.load(os.path.join(base, "sub",
+                                               f"{i}.npy"))[None])
+        cls = jnp.asarray(np.load(os.path.join(base, "cls",
+                                               f"{i}.npy"))[None])
+        gt = np.load(os.path.join(base, "mels", f"ljspeech-mel-{i+1:05d}.npy"))
+
+        out = M.infer(state.params, state.bn_state, cfg, text, sub, cls,
+                      cls, rng=jax.random.PRNGKey(100 + i),
+                      max_steps=args.max_steps)
+        n_frames = int(out["mel_lengths"][0])
+        pred = np.asarray(out["mel_postnet"][0, :, :max(n_frames, 2)],
+                          np.float32)
+
+        # mel soft-DTW (normalized per frame-pair)  [reference softdtw.py]
+        D = ((pred.T[:, None, :] - gt.T[None, :, :]) ** 2).sum(-1)
+        sdtw = float(SD.softdtw(jnp.asarray(D[None]), gamma=1.0)[0]) \
+            / (D.shape[0] + D.shape[1])
+        # MCD over DTW-aligned MCEPs computed directly from the mel (the
+        # synthetic GT has no waveform; apply the MCD formula to DCT-II
+        # cepstra of the log-mels, aligned by exact DTW)
+        import scipy.fftpack
+        mcep_p = scipy.fftpack.dct(pred.T, type=2, norm="ortho")[:, 1:14]
+        mcep_g = scipy.fftpack.dct(gt.T, type=2, norm="ortho")[:, 1:14]
+        path = EM.dtw_path(mcep_p, mcep_g)
+        diff = mcep_p[[p[0] for p in path]] - mcep_g[[p[1] for p in path]]
+        mcd = float(np.mean(10.0 / np.log(10.0)
+                            * np.sqrt(2.0 * (diff ** 2).sum(-1))))
+        sdtw_vals.append(sdtw)
+        mcd_vals.append(mcd)
+        len_err.append(abs(n_frames - gt.shape[1]) / gt.shape[1])
+        rows.append({"utt": i, "frames_pred": n_frames,
+                     "frames_gt": gt.shape[1], "softdtw": round(sdtw, 4),
+                     "mcd": round(mcd, 4),
+                     "gate_ok": bool(out["infer_ok"][0])})
+
+    print(f"n={len(rows)}  softdtw(mel)={np.mean(sdtw_vals):.4f}  "
+          f"MCD={np.mean(mcd_vals):.4f}  "
+          f"len_err={np.mean(len_err)*100:.1f}%  "
+          f"gate_ok={sum(r['gate_ok'] for r in rows)}/{len(rows)}")
+    if args.out_csv:
+        with open(args.out_csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+        print("wrote", args.out_csv)
+
+
+if __name__ == "__main__":
+    main()
