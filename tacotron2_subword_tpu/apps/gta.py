@@ -62,12 +62,22 @@ def gta_synthesis(args) -> int:
             continue
         dur = np.load(dur_path)
         text = dur[:, 0].astype(np.int32)
-        wav = load_wav(wav_path)
-        mel = np.asarray(S.mel_spectrogram(
-            jnp.asarray(np.clip(wav, -1, 1)[None]),
-            cfg.sampling_rate, cfg.filter_length, cfg.hop_length,
-            cfg.win_length, cfg.n_mel_channels, cfg.mel_fmin,
-            cfg.mel_fmax))[0]
+        if args.mel_dir:
+            # precomputed-mel mode: read the dataset's mel instead of
+            # recomputing from the wav (reference GTA.py always re-mels)
+            mel = np.load(os.path.join(
+                args.mel_dir, f"ljspeech-mel-{i + 1:05d}.npy")).astype(
+                np.float32)
+            if mel.shape[0] != cfg.n_mel_channels and \
+                    mel.shape[1] == cfg.n_mel_channels:
+                mel = mel.T
+        else:
+            wav = load_wav(wav_path)
+            mel = np.asarray(S.mel_spectrogram(
+                jnp.asarray(np.clip(wav, -1, 1)[None]),
+                cfg.sampling_rate, cfg.filter_length, cfg.hop_length,
+                cfg.win_length, cfg.n_mel_channels, cfg.mel_fmin,
+                cfg.mel_fmax))[0]
         sub = (np.load(os.path.join(args.sub_dir, f"{i}.npy")).astype(
             np.int32) if args.sub_dir else np.zeros(4, np.int32))
         cls = (np.load(os.path.join(args.cls_dir, f"{i}.npy")).astype(
@@ -136,6 +146,9 @@ def build_argparser():
     p.add_argument("mel_out")
     p.add_argument("--sub-dir", default=None)
     p.add_argument("--cls-dir", default=None)
+    p.add_argument("--mel-dir", default=None,
+                   help="read precomputed mels from this dir instead of "
+                        "re-computing from wavs")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--hparams", default=None)

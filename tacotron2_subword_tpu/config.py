@@ -122,7 +122,13 @@ def create_config(overrides: Mapping[str, Any] | None = None,
             k, v = item.split(":", 1)
             if hasattr(cfg, k):
                 field_type = type(getattr(cfg, k))
-                kw[k] = field_type(v) if field_type is not str else v
+                if field_type is bool:
+                    # bool("False") is True — parse the words
+                    kw[k] = v.strip().lower() in ("1", "true", "yes", "on")
+                elif field_type is str:
+                    kw[k] = v
+                else:
+                    kw[k] = field_type(v)
     if overrides:
         kw.update(overrides)
     return cfg.replace(**kw) if kw else cfg

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--hparams", default=None)
     ap.add_argument("--n", type=int, default=16)
     ap.add_argument("--max-steps", type=int, default=256)
+    ap.add_argument("--gate-threshold", type=float, default=None,
+                    help="override cfg.gate_threshold (the reference "
+                         "default 0.001 is hair-trigger)")
     ap.add_argument("--out-csv", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -50,18 +53,23 @@ def main():
     base = os.path.join(args.data, "val")
     rows = []
     sdtw_vals, mcd_vals, len_err = [], [], []
+    T_TEXT, T_SUB = 32, 16  # fixed padded shapes: ONE compile for all utts
     for i in range(args.n):
         dur = np.load(os.path.join(base, "durations", f"{i}.npy"))
-        text = jnp.asarray(dur[:, 0][None])
-        sub = jnp.asarray(np.load(os.path.join(base, "sub",
-                                               f"{i}.npy"))[None])
+        phones = dur[:, 0].astype(np.int32)
+        sub_ids = np.load(os.path.join(base, "sub", f"{i}.npy"))
+        text = jnp.asarray(np.pad(phones, (0, T_TEXT - len(phones)))[None])
+        sub = jnp.asarray(np.pad(sub_ids, (0, T_SUB - len(sub_ids)))[None])
         cls = jnp.asarray(np.load(os.path.join(base, "cls",
                                                f"{i}.npy"))[None])
         gt = np.load(os.path.join(base, "mels", f"ljspeech-mel-{i+1:05d}.npy"))
 
         out = M.infer(state.params, state.bn_state, cfg, text, sub, cls,
                       cls, rng=jax.random.PRNGKey(100 + i),
-                      max_steps=args.max_steps)
+                      max_steps=args.max_steps,
+                      gate_threshold=args.gate_threshold,
+                      text_lengths=jnp.asarray([len(phones)]),
+                      sub_lengths=jnp.asarray([len(sub_ids)]))
         n_frames = int(out["mel_lengths"][0])
         pred = np.asarray(out["mel_postnet"][0, :, :max(n_frames, 2)],
                           np.float32)
@@ -76,10 +84,7 @@ def main():
         import scipy.fftpack
         mcep_p = scipy.fftpack.dct(pred.T, type=2, norm="ortho")[:, 1:14]
         mcep_g = scipy.fftpack.dct(gt.T, type=2, norm="ortho")[:, 1:14]
-        path = EM.dtw_path(mcep_p, mcep_g)
-        diff = mcep_p[[p[0] for p in path]] - mcep_g[[p[1] for p in path]]
-        mcd = float(np.mean(10.0 / np.log(10.0)
-                            * np.sqrt(2.0 * (diff ** 2).sum(-1))))
+        mcd = float(EM.mcd_from_mcep(mcep_p, mcep_g))
         sdtw_vals.append(sdtw)
         mcd_vals.append(mcd)
         len_err.append(abs(n_frames - gt.shape[1]) / gt.shape[1])
