@@ -14,8 +14,13 @@ from __future__ import annotations
 import argparse
 import csv
 import os
+import sys
 
 import numpy as np
+
+# repo root on sys.path (running `python tools/eval_synthetic.py` puts only
+# tools/ there; do NOT use PYTHONPATH — it breaks axon plugin discovery)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +29,12 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True)
-    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--sweep-dir", default=None,
+                    help="evaluate every checkpoint_* in this directory "
+                         "(the reference best_checkpoint.py ledger, "
+                         "best_checkpoint.py:436-597, at mel level); one "
+                         "XLA compile is reused across all checkpoints")
     ap.add_argument("--hparams", default=None)
     ap.add_argument("--n", type=int, default=16)
     ap.add_argument("--max-steps", type=int, default=256)
@@ -46,10 +56,41 @@ def main():
     from tacotron2_subword_tpu.utils import checkpoint as CK
 
     cfg = create_config(hparams_string=args.hparams)
-    state, _ = T.create_train_state(jax.random.PRNGKey(0), cfg)
-    state, _meta = CK.load_checkpoint(args.checkpoint, state)
-    print(f"loaded {args.checkpoint} at step {int(state.step)}")
+    skeleton, _ = T.create_train_state(jax.random.PRNGKey(0), cfg)
 
+    if args.sweep_dir:
+        from tacotron2_subword_tpu.apps.best_checkpoint import \
+            list_checkpoints
+        ckpts = list_checkpoints(args.sweep_dir)
+    else:
+        if not args.checkpoint:
+            ap.error("one of --checkpoint / --sweep-dir is required")
+        ckpts = [args.checkpoint]
+
+    ledger = []
+    for ckpt in ckpts:
+        summary, rows = eval_checkpoint(args, cfg, skeleton, ckpt,
+                                        M, SD, EM, CK)
+        ledger.append(summary)
+        print(f"{os.path.basename(ckpt)}: "
+              f"softdtw(mel)={summary['softdtw']:.4f}  "
+              f"MCD={summary['mcd']:.4f}  "
+              f"len_err={summary['len_err']*100:.1f}%  "
+              f"gate_ok={summary['gate_ok']}/{summary['n']}", flush=True)
+
+    if args.out_csv:
+        out_rows = ledger if args.sweep_dir else rows
+        with open(args.out_csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(out_rows[0].keys()))
+            w.writeheader()
+            w.writerows(out_rows)
+        print("wrote", args.out_csv)
+
+
+def eval_checkpoint(args, cfg, skeleton, ckpt, M, SD, EM, CK):
+    import scipy.fftpack
+
+    state, _meta = CK.load_checkpoint(ckpt, skeleton)
     base = os.path.join(args.data, "val")
     rows = []
     sdtw_vals, mcd_vals, len_err = [], [], []
@@ -81,7 +122,6 @@ def main():
         # MCD over DTW-aligned MCEPs computed directly from the mel (the
         # synthetic GT has no waveform; apply the MCD formula to DCT-II
         # cepstra of the log-mels, aligned by exact DTW)
-        import scipy.fftpack
         mcep_p = scipy.fftpack.dct(pred.T, type=2, norm="ortho")[:, 1:14]
         mcep_g = scipy.fftpack.dct(gt.T, type=2, norm="ortho")[:, 1:14]
         mcd = float(EM.mcd_from_mcep(mcep_p, mcep_g))
@@ -93,16 +133,13 @@ def main():
                      "mcd": round(mcd, 4),
                      "gate_ok": bool(out["infer_ok"][0])})
 
-    print(f"n={len(rows)}  softdtw(mel)={np.mean(sdtw_vals):.4f}  "
-          f"MCD={np.mean(mcd_vals):.4f}  "
-          f"len_err={np.mean(len_err)*100:.1f}%  "
-          f"gate_ok={sum(r['gate_ok'] for r in rows)}/{len(rows)}")
-    if args.out_csv:
-        with open(args.out_csv, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-            w.writeheader()
-            w.writerows(rows)
-        print("wrote", args.out_csv)
+    summary = {
+        "checkpoint": os.path.basename(ckpt), "step": int(state.step),
+        "n": len(rows), "softdtw": float(np.mean(sdtw_vals)),
+        "mcd": float(np.mean(mcd_vals)), "len_err": float(np.mean(len_err)),
+        "gate_ok": sum(r["gate_ok"] for r in rows),
+    }
+    return summary, rows
 
 
 if __name__ == "__main__":
