@@ -1,14 +1,22 @@
-"""Benchmark: audio-seconds of mel synthesized per second per chip.
+"""Benchmark: batched inference throughput + train-step throughput.
 
-Workload: batched free-running decoder inference on the full-size
-dual-stream BERT-Tacotron2 (the reference's inference.py hot path,
-reference model.py:467-488), gate rigged to never fire so every sample
-decodes the full max_steps — a fixed, comparable amount of work.
-audio-seconds = B * steps * hop / sr.
+Workloads (PINNED — changing any constant changes the headline number):
+ 1. Inference: batched free-running decode on the full-size dual-stream
+    BERT-Tacotron2 (the reference's inference.py hot path, reference
+    model.py:467-488), B=128, steps=200, 6 back-to-back calls, bf16
+    decoder, gate rigged to never fire so every sample decodes the full
+    max_steps.  audio-seconds = B * steps * hop / sr.  Reported both as
+    audio-sec/s/chip and wall us/step (amortized over the 6 enqueued
+    calls — the serving pattern; per-call dispatch overlaps device work).
+ 2. Training: full bf16 train step (fwd+bwd+Adam, custom decoder VJP) at
+    B=8 and B=64, T_out=128 — the reference logs per-iteration train time
+    as a first-class metric (reference train.py:343-345, logger.py:48).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is the speedup over the same workload on host CPU
-(scaled-down CPU run; BASELINE.json north star is >=5x).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+``vs_baseline`` is the speedup over the same inference workload on host CPU
+(scaled-down CPU run; BASELINE.json north star is >=5x).  ``extra`` carries
+the secondary numbers (us/step, train ms/step + frames/s at both batch
+sizes).
 """
 
 import json
@@ -16,8 +24,26 @@ import time
 
 import numpy as np
 
+INFER_BATCH = 128
+INFER_STEPS = 200
+INFER_REPEATS = 6
+TRAIN_T_OUT = 128
+TRAIN_REPEATS = 6
 
-def run(backend: str, batch: int, steps: int, repeats: int = 6):
+
+def _fetch_time(fn_calls):
+    """Enqueue all calls back-to-back (dispatch is async) and fetch at the
+    end.  NOTE: time via host fetch (np.asarray), not block_until_ready —
+    the axon TPU tunnel returns from block_until_ready before remote
+    completion."""
+    t0 = time.perf_counter()
+    outs = [c() for c in fn_calls]
+    for o in outs:
+        np.asarray(o)
+    return (time.perf_counter() - t0) / len(fn_calls)
+
+
+def run_infer(backend: str, batch: int, steps: int, repeats: int = 6):
     import jax
     jax.config.update("jax_platforms", backend)
     import jax.numpy as jnp
@@ -50,22 +76,57 @@ def run(backend: str, batch: int, steps: int, repeats: int = 6):
         return jnp.float32(out["mel_postnet"].mean())
 
     jfn = jax.jit(fn)
-    # warmup/compile.  NOTE: time via host fetch (np.asarray), not
-    # block_until_ready — the axon TPU tunnel returns from
-    # block_until_ready before remote completion.
     np.asarray(jfn(params, bn, text, sub, cls_p, cls_s,
-                   jax.random.PRNGKey(1)))
-    # Steady-state throughput: enqueue all calls back-to-back (dispatch is
-    # async) and fetch at the end, so the fixed per-call dispatch round-trip
-    # overlaps device compute — exactly how a serving loop would run.
-    t0 = time.perf_counter()
-    outs = [jfn(params, bn, text, sub, cls_p, cls_s,
-                jax.random.PRNGKey(2 + i)) for i in range(repeats)]
-    for o in outs:
-        np.asarray(o)
-    dt = (time.perf_counter() - t0) / repeats
+                   jax.random.PRNGKey(1)))  # warmup/compile
+    dt = _fetch_time([
+        (lambda i=i: jfn(params, bn, text, sub, cls_p, cls_s,
+                         jax.random.PRNGKey(2 + i)))
+        for i in range(repeats)])
     audio_sec = batch * steps * cfg.hop_length / cfg.sampling_rate
-    return audio_sec / dt
+    return audio_sec / dt, dt / steps * 1e6  # (audio_sec/s, us/step wall)
+
+
+def run_train(batch: int, t_out: int = TRAIN_T_OUT,
+              repeats: int = TRAIN_REPEATS):
+    """bf16 train-step throughput: ms/step (wall, amortized) and mel
+    frames/s/chip.  The steps are chained through the carried state, so the
+    final fetched loss forces the whole chain."""
+    import jax
+    import jax.numpy as jnp
+    from tacotron2_subword_tpu.config import TacotronConfig
+    from tacotron2_subword_tpu import train_lib as T
+
+    cfg = TacotronConfig()
+    state, tx = T.create_train_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    B, T_text, T_sub = batch, 64, 32
+    lengths = lambda T: jnp.asarray(np.clip(
+        rng.randint(T // 2, T + 1, B), 2, T))
+    batch_d = {
+        "text": jnp.asarray(rng.randint(0, cfg.n_symbols, (B, T_text))),
+        "text_lengths": lengths(T_text),
+        "sub": jnp.asarray(rng.randint(0, cfg.sub_n_symbols, (B, T_sub))),
+        "sub_lengths": lengths(T_sub),
+        "mels": jnp.asarray(rng.randn(B, cfg.n_mel_channels, t_out)
+                            .astype(np.float32)),
+        "output_lengths": lengths(t_out),
+        "cls_phone": jnp.asarray(rng.randn(B, cfg.bert_embedding_dim)
+                                 .astype(np.float32)),
+        "cls_sub": jnp.asarray(rng.randn(B, cfg.bert_embedding_dim)
+                               .astype(np.float32)),
+    }
+    batch_d["gate_target"] = T.make_gate_target(batch_d["output_lengths"],
+                                                t_out)
+    step = jax.jit(T.train_step, static_argnums=(3, 4), donate_argnums=(0,))
+    state, m = step(state, batch_d, jax.random.PRNGKey(1), cfg, tx)
+    np.asarray(m["total"])  # warmup/compile
+
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        state, m = step(state, batch_d, jax.random.PRNGKey(2 + i), cfg, tx)
+    np.asarray(m["total"])  # forces the chained steps
+    dt = (time.perf_counter() - t0) / repeats
+    return dt * 1e3, batch * t_out / dt  # (ms/step, frames/s)
 
 
 def main():
@@ -81,13 +142,27 @@ def main():
     except (ValueError, IndexError):
         cpu_rate = float("nan")
 
-    tpu_rate = run("axon", batch=128, steps=200)
+    tpu_rate, us_per_step = run_infer("axon", INFER_BATCH, INFER_STEPS,
+                                      INFER_REPEATS)
+    train8_ms, train8_fps = run_train(8)
+    train64_ms, train64_fps = run_train(64)
     vs = tpu_rate / cpu_rate if np.isfinite(cpu_rate) else float("nan")
     print(json.dumps({
-        "metric": "mel audio-seconds synthesized/sec/chip (B=128 batched inference, bf16 decoder)",
+        "metric": ("mel audio-seconds synthesized/sec/chip "
+                   f"(B={INFER_BATCH} steps={INFER_STEPS} "
+                   f"x{INFER_REPEATS} batched inference, bf16 decoder)"),
         "value": round(tpu_rate, 3),
         "unit": "audio_sec/s",
         "vs_baseline": round(vs, 3) if np.isfinite(vs) else None,
+        "extra": {
+            "infer_us_per_step_wall": round(us_per_step, 2),
+            "train_ms_per_step_B8": round(train8_ms, 2),
+            "train_frames_per_s_B8": round(train8_fps, 1),
+            "train_ms_per_step_B64": round(train64_ms, 2),
+            "train_frames_per_s_B64": round(train64_fps, 1),
+            "train_workload": f"bf16 fwd+bwd+Adam, T_out={TRAIN_T_OUT}, "
+                              f"x{TRAIN_REPEATS} chained steps",
+        },
     }))
 
 
@@ -95,6 +170,6 @@ if __name__ == "__main__":
     import sys
     if "--cpu-probe" in sys.argv:
         # smaller CPU workload, normalized per audio-second
-        print(run("cpu", batch=2, steps=50, repeats=1))
+        print(run_infer("cpu", batch=2, steps=50, repeats=1)[0])
     else:
         main()

@@ -70,9 +70,56 @@ class SyntheticDataset:
 
 def device_batch(batch: Dict[str, np.ndarray], mesh) -> Dict[str, jnp.ndarray]:
     sharding = PM.batch_sharding(mesh)
+    if jax.process_count() > 1:
+        # each process holds its contiguous row slice of the global batch
+        # (BucketedLoader shard_within_batch); assemble the global array
+        return {k: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(v)) for k, v in batch.items()}
+    return {k: jax.device_put(jnp.asarray(v), sharding)
+            for k, v in batch.items()}
+
+
+def replicate_global(x, mesh):
+    """Replicated device value that is valid under multi-process meshes
+    (every process must supply the identical host value)."""
+    s = PM.replicate_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(s, np.asarray(x))
+    return jax.device_put(x, s)
+
+
+def _batch_struct(cfg, B, t, s, m, with_alignment):
+    """ShapeDtypeStruct pytree matching pad_batch's output for AOT
+    compilation of a bucket shape."""
+    S, f32, i32 = jax.ShapeDtypeStruct, jnp.float32, jnp.int32
+    d = {"text": S((B, t), i32), "text_lengths": S((B,), i32),
+         "sub": S((B, s), i32), "sub_lengths": S((B,), i32),
+         "mels": S((B, cfg.n_mel_channels, m), f32),
+         "output_lengths": S((B,), i32),
+         "cls_phone": S((B, cfg.bert_embedding_dim), f32),
+         "cls_sub": S((B, cfg.bert_embedding_dim), f32),
+         "gate_target": S((B, m), f32), "weight": S((B,), f32)}
+    if with_alignment:
+        d["align_target"] = S((B, m, t), f32)
+    return d
+
+
+def aot_warmup(step_fn, state, cfg, plan, global_batch, key_example):
+    """Precompile the train step for every bucket shape the corpus will hit
+    (the compile-budget guard: full-size TPU compiles cost 45-250 s each,
+    see data/dataset.py compile_plan).  Returns {bucket_key: executable} —
+    AOT ``lower().compile()`` does NOT populate the jit dispatch cache, so
+    the train loop must route through these executables."""
+    import time as _time
+    key_struct = jax.ShapeDtypeStruct(key_example.shape, key_example.dtype)
     out = {}
-    for k, v in batch.items():
-        out[k] = jax.device_put(jnp.asarray(v), sharding)
+    t0 = _time.perf_counter()
+    for n, key in enumerate(sorted(plan)):
+        t, s, m = key
+        bs = _batch_struct(cfg, global_batch, t, s, m, bool(cfg.align_loss))
+        out[key] = step_fn.lower(state, bs, key_struct).compile()
+        print(f"  aot-warmup {key} ({n + 1}/{len(plan)}) "
+              f"{_time.perf_counter() - t0:.0f}s", flush=True)
     return out
 
 
@@ -90,17 +137,16 @@ def validate(state, loader, cfg, mesh, eval_fn, rng) -> float:
 
 
 def train(args) -> None:
-    if args.multihost:
-        # Multi-host pods: one process per host; jax.distributed wires the
-        # coordination service (the role of the reference's NCCL
-        # init_distributed + launcher, train.py:30-42, distributed.py:181).
-        jax.distributed.initialize()
     cfg = create_config(hparams_string=args.hparams)
     if args.batch_size:
         cfg = cfg.replace(batch_size=args.batch_size)
 
     os.makedirs(args.output_directory, exist_ok=True)
     mesh = PM.make_mesh(n_model=args.model_parallel)
+    if jax.process_count() > 1:
+        # establish the cross-process collective context while the hosts
+        # are still in lockstep (see PM.collective_barrier)
+        PM.collective_barrier(mesh)
     n_data = mesh.shape["data"]
     n_dev = mesh.devices.size
     global_batch = cfg.batch_size * n_data
@@ -123,7 +169,11 @@ def train(args) -> None:
     loader_kw = dict(batch_size=global_batch,
                      shard_index=jax.process_index(),
                      num_shards=jax.process_count(),
-                     with_alignment=bool(cfg.align_loss))
+                     with_alignment=bool(cfg.align_loss),
+                     frames_per_step=cfg.n_frames_per_step,
+                     # lockstep across hosts: identical global batches,
+                     # per-host row slices (see BucketedLoader)
+                     shard_within_batch=True)
     train_loader = BucketedLoader(train_ds, seed=cfg.seed, **loader_kw)
 
     state, tx = T.create_train_state(jax.random.PRNGKey(cfg.seed), cfg)
@@ -156,19 +206,39 @@ def train(args) -> None:
     from tacotron2_subword_tpu.utils.platform import StepProfiler
     profiler = StepProfiler(args.profile_dir)
     best = CK.BestTracker(args.output_directory)
-    rng = jax.random.PRNGKey(cfg.seed + jax.process_index())
+    # host-INVARIANT stream: the step key is a replicated global value, so
+    # every process must derive the identical key sequence
+    rng = jax.random.PRNGKey(cfg.seed)
     iteration = start_iter
 
     print(f"training: {n_dev} devices, global batch {global_batch}, "
           f"{len(train_ds)} utterances")
+
+    # compile budget: report the bucket shapes this corpus actually hits
+    # (each full-size TPU train-step compile costs 45-250 s; the worst-case
+    # grid is len(text)xlen(sub)xlen(mel) edges = up to 150 variants)
+    plan = train_loader.compile_plan()
+    plan_str = ", ".join(f"(t{t},s{s},m{m})x{c}"
+                         for (t, s, m), c in sorted(plan.items()))
+    print(f"compile plan: {len(plan)} train-step shape variants: {plan_str}",
+          flush=True)
+    executables = {}
+    if args.aot_warmup:
+        rng, wkey = jax.random.split(rng)
+        executables = aot_warmup(step_fn, state, cfg, plan, global_batch,
+                                 wkey)
+
     for epoch in range(cfg.epochs):
         for batch in train_loader:
             t0 = time.perf_counter()
             rng, step_key = jax.random.split(rng)
-            step_key = jax.device_put(step_key, PM.replicate_sharding(mesh))
+            step_key = replicate_global(step_key, mesh)
             db = device_batch(batch, mesh)
             profiler.step(iteration)
-            state, metrics = step_fn(state, db, step_key)
+            bucket = (batch["text"].shape[1], batch["sub"].shape[1],
+                      batch["mels"].shape[2])
+            state, metrics = executables.get(bucket, step_fn)(
+                state, db, step_key)
             total = float(metrics["total"])  # host sync
             dt = time.perf_counter() - t0
             iteration += 1
@@ -193,7 +263,10 @@ def train(args) -> None:
                                        learning_rate=learning_rate)
                     if best.update(state, val_loss, learning_rate):
                         print(f"new best val loss {val_loss:.4f}")
-                    if logger and last is not None:
+                    if logger and last is not None \
+                            and jax.process_count() == 1:
+                        # image/audio logging fetches batch-sharded outputs,
+                        # which are not host-addressable across processes
                         logger.log_validation(val_loss, state.params,
                                               last[0], last[1], iteration)
             if args.max_iters and iteration >= args.max_iters:
@@ -235,15 +308,33 @@ def build_argparser() -> argparse.ArgumentParser:
                         "weights; data axis = n_devices / this)")
     p.add_argument("--profile-dir", default=None,
                    help="capture an xprof trace of a few steps here")
+    p.add_argument("--aot-warmup", action="store_true",
+                   help="precompile every bucket shape in the compile plan "
+                        "before step 1 (bounds mid-training compile stalls)")
     p.add_argument("--max-iters", type=int, default=0)
     p.add_argument("--log-interval", type=int, default=1)
     return p
 
 
 def main():
+    args = build_argparser().parse_args()
+    if args.multihost:
+        # Multi-host pods: one process per host; jax.distributed wires the
+        # coordination service (the role of the reference's NCCL
+        # init_distributed + launcher, train.py:30-42, distributed.py:181).
+        # MUST run before anything touches a JAX backend (including the
+        # compilation-cache probe below).  On cloud TPU the no-arg form
+        # auto-detects; elsewhere (including the CPU multi-process test)
+        # pass the coordinator env vars.
+        kw = {}
+        addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if addr:
+            kw = dict(coordinator_address=addr,
+                      num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                      process_id=int(os.environ["JAX_PROCESS_ID"]))
+        jax.distributed.initialize(**kw)
     from tacotron2_subword_tpu.utils.platform import enable_compilation_cache
     enable_compilation_cache()
-    args = build_argparser().parse_args()
     if args.tokenizer_vocab:
         extra = f"[sub_n_symbols:{args.tokenizer_vocab}-]"
         args.hparams = args.hparams or extra

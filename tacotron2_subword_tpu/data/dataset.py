@@ -75,6 +75,17 @@ class BertTacotron2Dataset:
     def __len__(self) -> int:
         return len(self.rows)
 
+    def lengths(self, i: int) -> Tuple[int, int, int]:
+        """(text_len, sub_len, mel_len) WITHOUT materializing the arrays
+        (mmap header reads) — used by BucketedLoader.compile_plan to cost
+        the bucket grid before training starts."""
+        dur = np.load(self.rows[i][-1], mmap_mode="r")
+        sub = np.load(os.path.join(self.sub_dir, f"{i}.npy"), mmap_mode="r")
+        mel = np.load(os.path.join(
+            self.mel_dir, f"ljspeech-mel-{i + 1:05d}.npy"), mmap_mode="r")
+        t_mel = mel.shape[1] if mel.shape[0] == 80 else mel.shape[0]
+        return dur.shape[0], sub.shape[0], int(t_mel)
+
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         dur_path = self.rows[i][-1]
         dur = np.load(dur_path)
@@ -154,17 +165,33 @@ class BucketedLoader:
                  sub_edges: Sequence[int] = (16, 32, 48, 64, 96),
                  seed: int = 0, shard_index: int = 0, num_shards: int = 1,
                  drop_remainder: bool = False,
-                 with_alignment: bool = False):
+                 with_alignment: bool = False,
+                 frames_per_step: int = 1,
+                 shard_within_batch: bool = False):
         self.ds = dataset
         self.batch_size = batch_size
         self.text_edges = sorted(text_edges)
-        self.mel_edges = sorted(mel_edges)
+        # mel pad lengths must divide n_frames_per_step (the decoder scans
+        # groups of r frames, models/tacotron2.py decoder_teacher_forced)
+        r = max(int(frames_per_step), 1)
+        self.mel_edges = sorted({-(-e // r) * r for e in mel_edges})
         self.sub_edges = sorted(sub_edges)
         self.rng = np.random.RandomState(seed)
         self.shard_index = shard_index
         self.num_shards = num_shards
         self.drop_remainder = drop_remainder
         self.with_alignment = with_alignment
+        # Multi-host lockstep mode: every shard iterates the FULL dataset in
+        # the same order and forms identical global batches, then takes its
+        # contiguous row slice of each.  Sharding the dataset instead (the
+        # reference's DistributedSampler model, train.py:232) would let
+        # hosts see different bucket sequences and fall out of lockstep on
+        # batch count/shape — a collective deadlock.  Costs each host a full
+        # pass over the metadata; documented trade.
+        self.shard_within_batch = shard_within_batch
+        if shard_within_batch and batch_size % num_shards:
+            raise ValueError(f"global batch {batch_size} not divisible by "
+                             f"num_shards={num_shards}")
         self.epoch = 0
 
     def _edge(self, edges: Sequence[int], v: int) -> int:
@@ -176,7 +203,8 @@ class BucketedLoader:
         # per-host shard (analogue of DistributedSampler + set_epoch)
         self.rng = np.random.RandomState(self.epoch * 9973 + 17)
         self.rng.shuffle(idx)
-        idx = idx[self.shard_index::self.num_shards]
+        if not self.shard_within_batch:
+            idx = idx[self.shard_index::self.num_shards]
         self.epoch += 1
 
         buckets: Dict[Tuple[int, int, int], list] = {}
@@ -187,7 +215,7 @@ class BucketedLoader:
                    self._edge(self.mel_edges, s["mel"].shape[1]))
             buckets.setdefault(key, []).append(s)
             if len(buckets[key]) == self.batch_size:
-                yield self._emit(key, buckets.pop(key))
+                yield self._slice(self._emit(key, buckets.pop(key)))
         for key, rest in sorted(buckets.items()):
             if self.drop_remainder:
                 continue
@@ -197,7 +225,30 @@ class BucketedLoader:
                 rest.append(rest[-1])
             b = self._emit(key, rest)
             b["weight"] = weight
-            yield b
+            yield self._slice(b)
+
+    def compile_plan(self) -> Dict[Tuple[int, int, int], int]:
+        """Bucket shapes this corpus will actually hit → utterance count.
+
+        XLA compiles one program variant per (text, sub, mel) bucket key;
+        on TPU each full-size train-step compile costs 45-250 s, so the
+        worst-case grid (len(text_edges) x len(sub_edges) x len(mel_edges),
+        up to 150 variants at the defaults) can dwarf short runs.  This scan
+        is cheap (mmap header reads via dataset.lengths when available) and
+        lets the train CLI print the real compile budget up front and AOT
+        warm up exactly these shapes."""
+        counts: Dict[Tuple[int, int, int], int] = {}
+        for i in range(len(self.ds)):
+            if hasattr(self.ds, "lengths"):
+                t, s, m = self.ds.lengths(i)
+            else:
+                smp = self.ds[i]
+                t, s, m = len(smp["text"]), len(smp["sub"]), smp["mel"].shape[1]
+            key = (self._edge(self.text_edges, t),
+                   self._edge(self.sub_edges, s),
+                   self._edge(self.mel_edges, m))
+            counts[key] = counts.get(key, 0) + 1
+        return counts
 
     def _emit(self, key, samples) -> Dict[str, np.ndarray]:
         t, s, m = key
@@ -205,3 +256,13 @@ class BucketedLoader:
                       with_alignment=self.with_alignment)
         b["weight"] = np.ones(len(samples), np.float32)
         return b
+
+    def _slice(self, b: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """In shard_within_batch mode, this host's contiguous row slice of
+        the global batch (reassembled on device by
+        jax.make_array_from_process_local_data)."""
+        if not self.shard_within_batch or self.num_shards == 1:
+            return b
+        k = self.batch_size // self.num_shards
+        lo = self.shard_index * k
+        return {key: v[lo:lo + k] for key, v in b.items()}

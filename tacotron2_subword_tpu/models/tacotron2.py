@@ -500,9 +500,26 @@ def decoder_teacher_forced(dp, cfg: TacotronConfig, memory, memory_b, mels,
 
     memory: [B, T_text, D]; memory_b: [B, T_sub, D]; mels: [B, n_mels, T_out].
     Returns (mel_outputs [B, n_mels, T_out], gate [B, T_out],
-             alignments [B, T_out, T_text], alignments_b [B, T_out, T_sub]).
+             alignments [B, T_steps, T_text], alignments_b [B, T_steps, T_sub])
+    where T_steps = T_out / n_frames_per_step.
+
+    n_frames_per_step r > 1 follows the reference's decoder semantics
+    (model.py:272-320): each scan step consumes/produces a group of r frames
+    flattened (r, n_mels)-row-major, the prenet/projection are sized r*n_mels,
+    and alignments are per decoder step.  Divergence: the per-step gate
+    energy is REPEATED r times to [B, T_out] so downstream masking and the
+    BCE loss keep frame granularity — the reference as committed shape-errors
+    at r > 1 (model.py:531-541 masks a [B, T_out/r] gate with a [B, T_out]
+    mask; loss_function.py compares it to a [B, T_out] target).
     """
     B, _, T_out = mels.shape
+    r = cfg.n_frames_per_step
+    if T_out % r != 0:
+        raise ValueError(
+            f"mel length {T_out} is not divisible by n_frames_per_step={r}; "
+            f"pad the batch mel length to a multiple of {r} "
+            f"(BucketedLoader(frames_per_step=...) does this)")
+    T_steps = T_out // r
     dtype = _compute_dtype(cfg)
     dp = _cast_floats(dp, dtype)
     memory = memory.astype(dtype)
@@ -510,12 +527,14 @@ def decoder_teacher_forced(dp, cfg: TacotronConfig, memory, memory_b, mels,
     mels = mels.astype(dtype)
     rng, k_pre, k_pre_b, k_scan = jax.random.split(rng, 4)
 
-    # Teacher inputs: go frame + all-but-last target frames, then the prenet
-    # over the whole sequence in one batched matmul (hoisted out of the scan).
+    # Teacher inputs: go frame + all-but-last target frame GROUPS (r frames
+    # flattened per step), then the prenet over the whole sequence in one
+    # batched matmul (hoisted out of the scan).
     frames = jnp.swapaxes(mels, 1, 2)  # [B, T, n_mels]
+    groups = frames.reshape(B, T_steps, r * cfg.n_mel_channels)
     teacher = jnp.concatenate(
-        [jnp.zeros((B, 1, cfg.n_mel_channels), mels.dtype),
-         frames[:, :-1]], axis=1)  # [B, T, n_mels]
+        [jnp.zeros((B, 1, r * cfg.n_mel_channels), mels.dtype),
+         groups[:, :-1]], axis=1)  # [B, T_steps, r*n_mels]
     dropout_on = cfg.prenet_dropout_always_on or training
     pre = prenet_apply(dp["prenet"], teacher, k_pre, dropout_on)
     pre_b = prenet_apply(dp["prenet_bert"], teacher, k_pre_b, dropout_on)
@@ -533,7 +552,7 @@ def decoder_teacher_forced(dp, cfg: TacotronConfig, memory, memory_b, mels,
     mask_s = jnp.stack([sequence_mask(text_lengths, T),
                         sequence_mask(sub_lengths, T)])
 
-    # [T_out, 2, B, prenet_dim]
+    # [T_steps, 2, B, prenet_dim]
     xs = {"pre": jnp.stack([jnp.swapaxes(pre, 0, 1),
                             jnp.swapaxes(pre_b, 0, 1)], axis=1)}
     if training:
@@ -546,20 +565,20 @@ def decoder_teacher_forced(dp, cfg: TacotronConfig, memory, memory_b, mels,
             return (jax.random.bernoulli(k, kp, shape).astype(dtype)
                     / jnp.asarray(kp, dtype))
         A_dim, D_dim = cfg.attention_rnn_dim, cfg.decoder_rnn_dim
-        xs["att_h"] = keep_masks(ka, (T_out, 2, B, A_dim),
+        xs["att_h"] = keep_masks(ka, (T_steps, 2, B, A_dim),
                                  cfg.p_attention_dropout)
-        xs["att_c"] = keep_masks(kb, (T_out, 2, B, A_dim),
+        xs["att_c"] = keep_masks(kb, (T_steps, 2, B, A_dim),
                                  cfg.p_attention_dropout)
-        xs["dec_h"] = keep_masks(kc, (T_out, B, D_dim),
+        xs["dec_h"] = keep_masks(kc, (T_steps, B, D_dim),
                                  cfg.p_decoder_dropout)
-        xs["dec_c"] = keep_masks(kd, (T_out, B, D_dim),
+        xs["dec_c"] = keep_masks(kd, (T_steps, B, D_dim),
                                  cfg.p_decoder_dropout)
         # only SMA consumes the noise; skip the draw for other variants
         if cfg.attention == "StepwiseMonotonicAttention":
-            xs["noise"] = (jax.random.normal(kn, (T_out, 2, B, T), dtype)
+            xs["noise"] = (jax.random.normal(kn, (T_steps, 2, B, T), dtype)
                            * A.SMA_SIGMOID_NOISE)
         else:
-            xs["noise"] = jnp.zeros((T_out, 2, B, T), dtype)
+            xs["noise"] = jnp.zeros((T_steps, 2, B, T), dtype)
 
     if training and cfg.custom_decoder_vjp and "w_q" not in rnn_s:
         # custom VJP: defers the big LSTM weight gradients out of the scan
@@ -575,12 +594,20 @@ def decoder_teacher_forced(dp, cfg: TacotronConfig, memory, memory_b, mels,
     ws_b = ws_s[:, 1, :, :T_sub]
 
     # Mel/gate projections hoisted out of the scan: one big matmul each.
-    mel_out = L.linear_apply(dp["linear_projection"], hidden_ctx)  # [T, B, M]
+    mel_out = L.linear_apply(dp["linear_projection"],
+                             hidden_ctx)  # [T_steps, B, r*M]
     gate_out = L.linear_apply(dp["gate_layer"], hidden_ctx)[..., 0]  # [T, B]
 
-    # outputs back to f32 regardless of the internal compute dtype
-    mel_outputs = jnp.transpose(mel_out, (1, 2, 0)).astype(jnp.float32)
+    # outputs back to f32 regardless of the internal compute dtype;
+    # ungroup the r frames per step (reference parse_decoder_outputs view,
+    # model.py:316-318: [B, T_steps, r*M] -> [B, T_out, M])
+    mel_frames = jnp.transpose(mel_out, (1, 0, 2)).reshape(
+        B, T_out, cfg.n_mel_channels)
+    mel_outputs = jnp.swapaxes(mel_frames, 1, 2).astype(jnp.float32)
     gate_outputs = jnp.swapaxes(gate_out, 0, 1).astype(jnp.float32)
+    if r > 1:
+        # per-step gate energy repeated to frame granularity (see docstring)
+        gate_outputs = jnp.repeat(gate_outputs, r, axis=1)
     alignments = jnp.swapaxes(ws, 0, 1).astype(jnp.float32)
     alignments_b = jnp.swapaxes(ws_b, 0, 1).astype(jnp.float32)
     return mel_outputs, gate_outputs, alignments, alignments_b
@@ -593,15 +620,17 @@ def decoder_infer(dp, cfg: TacotronConfig, memory, memory_b, *, rng,
     """Free-running decoding (reference Decoder.inference, model.py:430-492)
     as a lax.while_loop with static buffers and per-sample gate stop.
 
-    Returns dict with mel [B, n_mels, S], gate [B, S], alignments, mel
-    lengths [B], and infer_ok [B] (False where max steps was hit — the
-    reference's INFER_FLAG).
+    Returns dict with mel [B, n_mels, S*r], gate [B, S] (per decoder step),
+    alignments, mel lengths [B] (in FRAMES), and infer_ok [B] (False where
+    max steps was hit — the reference's INFER_FLAG).  Each of the S decoder
+    steps emits r = n_frames_per_step frames (reference model.py:272-320).
     """
     S = int(max_steps or cfg.max_decoder_steps)
     thresh = float(gate_threshold if gate_threshold is not None
                    else cfg.gate_threshold)
     B = memory.shape[0]
     M = cfg.n_mel_channels
+    r = cfg.n_frames_per_step
 
     dtype = _compute_dtype(cfg)
     dp = _cast_floats(dp, dtype)
@@ -630,13 +659,13 @@ def decoder_infer(dp, cfg: TacotronConfig, memory, memory_b, *, rng,
     carry0 = _decoder_carry_init(cfg, B, T, memory.dtype)
 
     bufs0 = {
-        "mel": jnp.zeros((S, B, M), memory.dtype),
+        "mel": jnp.zeros((S, B, M * r), memory.dtype),
         "gate": jnp.full((S, B), GATE_PAD_VALUE, memory.dtype),
         "align": jnp.zeros((S, 2, B, T), memory.dtype),
     }
     state0 = dict(step=jnp.array(0), finished=jnp.zeros(B, bool),
                   lengths=jnp.zeros(B, jnp.int32),
-                  prev=jnp.zeros((B, M), memory.dtype),
+                  prev=jnp.zeros((B, M * r), memory.dtype),
                   carry=carry0, bufs=bufs0, rng=rng)
 
     def cond(s):
@@ -678,12 +707,16 @@ def decoder_infer(dp, cfg: TacotronConfig, memory, memory_b, *, rng,
 
     out = jax.lax.while_loop(cond, body, state0)
     # samples that never fired ran to max steps (INFER_FLAG=False)
-    lengths = jnp.where(out["finished"], out["lengths"], out["step"])
+    step_lengths = jnp.where(out["finished"], out["lengths"], out["step"])
     infer_ok = out["finished"]
 
-    valid = sequence_mask(lengths, S)  # [B, S]
-    mel = (jnp.transpose(out["bufs"]["mel"], (1, 2, 0))
-           * valid[:, None, :]).astype(jnp.float32)
+    valid = sequence_mask(step_lengths, S)             # [B, S] per step
+    frame_valid = jnp.repeat(valid, r, axis=1)         # [B, S*r] per frame
+    # ungroup the r frames per step: [S, B, r*M] -> [B, M, S*r]
+    mel_frames = jnp.transpose(out["bufs"]["mel"], (1, 0, 2)).reshape(
+        B, S * r, M)
+    mel = (jnp.swapaxes(mel_frames, 1, 2)
+           * frame_valid[:, None, :]).astype(jnp.float32)
     gate = jnp.swapaxes(out["bufs"]["gate"], 0, 1).astype(jnp.float32)
     gate = jnp.where(valid, gate, GATE_PAD_VALUE)
     align = out["bufs"]["align"]  # [S, 2, B, T]
@@ -694,7 +727,7 @@ def decoder_infer(dp, cfg: TacotronConfig, memory, memory_b, *, rng,
                        * valid[:, :, None]).astype(jnp.float32),
         "alignments_bert": (jnp.transpose(align[:, 1, :, :T_sub], (1, 0, 2))
                             * valid[:, :, None]).astype(jnp.float32),
-        "mel_lengths": lengths,
+        "mel_lengths": step_lengths * r,
         "infer_ok": infer_ok,
     }
 

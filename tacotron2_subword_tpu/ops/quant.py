@@ -1,12 +1,15 @@
 """Weight-only int8 quantization for the autoregressive decode hot path.
 
-Why: profiling (xprof, v5e) shows the decoder step is at the HBM
-weight-streaming floor — the three LSTM weight matrices (~63 MB bf16) are
-re-read from HBM every mel frame and XLA already overlaps that stream with
-the MXU work (~83 us/step at B=128 vs a 77 us bf16 bandwidth floor).  The
-only remaining lever on decode latency is shrinking the bytes: storing the
-LSTM weights as int8 with per-output-channel scales halves the stream vs
-bf16 (4x vs f32).
+Measured verdict (xprof, v5e, round 1): int8 weight quant does NOT pay on
+chips whose VMEM holds the decoder weights.  The three LSTM weight matrices
+(~63 MB bf16) are VMEM-RESIDENT on v5e — XLA keeps them on-chip across
+while_loop steps, so the bf16 decode step runs at VMEM speed (~3.3 TB/s
+effective; 29 us/step at B=8, ~70 us at B=128) and is matmul-bound, not
+HBM-bound.  The int8 path's per-step int8→bf16 convert is VPU-bound and adds
+more than the saved bandwidth.  Kept (off by default, cfg.decode_quant="")
+because the math is exact-by-construction and it becomes the right lever on
+configurations where the weights DO stream from HBM every step: larger
+decoder dims, many-model serving, or smaller-VMEM parts.
 
 The reference has no counterpart (its CUDA decode is kernel-launch-bound,
 reference model.py:417-424); this is a TPU-native feature.

@@ -168,7 +168,10 @@ def _backward_scan(D, r_diags, gamma, bandwidth):
         ec = jnp.where(is_final, 1.0, ec)
         e_new = (ea * jnp.exp(ra) + eb * jnp.exp(rb) + ec * jnp.exp(rc))
         valid_p = valid[jnp.clip(p, 0, n_passes - 1)]
-        e_new = jnp.where(valid_p[None], e_new, 0.0)
+        # a cell is live only if on-grid AND inside the Sakoe-Chiba band:
+        # banned cells have R = -INF, whose exp terms are NaN (-INF - -INF)
+        # and would otherwise propagate through the whole E matrix
+        e_new = jnp.where(valid_p[None] & (r_p > -INF / 2), e_new, 0.0)
         return (e_new, e1), e_new
 
     e_init = jnp.zeros((B, N), D.dtype)
@@ -272,6 +275,145 @@ def profile(batch_size: int = 128, seq_len_a: int = 17, seq_len_b: int = 15,
     except Exception as e:
         print(f"pallas kernel unavailable on this backend: {type(e).__name__}")
     return float(jnp.sum(v))
+
+
+def softdtw_pallas_grad(D: jnp.ndarray, gamma: float = 1.0,
+                        bandwidth: float = 0.0,
+                        interpret: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """FUSED forward + backward soft-DTW as one Pallas TPU kernel:
+    (value [B], E = d(value)/dD [B, N, M]).
+
+    The reference ships the backward as a second CUDA wavefront kernel over
+    reversed anti-diagonals (soft_dtw_cuda.py:78-111).  Here both passes run
+    in one kernel launch per batch row: the forward fori_loop writes every R
+    diagonal to a VMEM scratch, the backward fori_loop walks the diagonals
+    in reverse computing E[i,j] = sum over the three successors of
+    E[succ] * exp((R[succ] - R[i,j] - D[succ]) / gamma), seeded with
+    E[N-1,M-1] = 1 — so R never round-trips through HBM between the passes.
+    Same skewed diagonal-as-lane-vector layout as ``softdtw_pallas``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, M = D.shape
+    band = jnp.asarray(_band_mask(N, M, bandwidth)[None], D.dtype)
+    Dm = jnp.where(band > 0, D, INF)
+    Ds = jnp.swapaxes(_skew(Dm), 1, 2)  # [B, P, Np]: diagonal rows
+    P = N + M - 1
+    Np = max(128, -(-N // 128) * 128)
+    Ds = jnp.pad(Ds, ((0, 0), (0, 0), (0, Np - N)), constant_values=INF)
+
+    def kernel(d_ref, val_ref, e_ref, r_scr):
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+
+        def shift_down(r, fill):  # lane i ← i-1
+            return jnp.where(row == 0, fill, pltpu.roll(r, 1, axis=1))
+
+        def shift_up(r, fill):    # lane i ← i+1 (lane N-1 pulls padding,
+            return jnp.where(row == Np - 1, fill,   # masked by validity)
+                             pltpu.roll(r, Np - 1, axis=1))
+
+        # ---- forward: write every diagonal of R to scratch -------------
+        def fwd_body(p, carry):
+            r1, r2 = carry
+            d_p = d_ref[0, p, :].reshape(1, Np)
+            down = shift_down(r1, INF)
+            dd = shift_down(r2, INF)
+            dd = jnp.where((p == 0) & (row == 0), 0.0, dd)
+            sm = _softmin3(down, r1, dd, gamma)
+            r_new = jnp.where(d_p >= INF / 2, INF, d_p + sm)
+            r_scr[p, :] = r_new[0]
+            return (r_new, r1)
+
+        r_init = d_ref[0, 0, :].reshape(1, Np) * 0.0 + INF
+        r_last, _ = jax.lax.fori_loop(0, P, fwd_body, (r_init, r_init))
+        val_ref[0] = r_last
+
+        # ---- backward: reversed wavefront over the scratch diagonals ---
+        def load_R(p):
+            r = r_scr[p, :].reshape(1, Np)
+            return jnp.where(r >= INF / 2, -INF, r)  # invalid → -INF
+
+        def load_D(p):
+            d = d_ref[0, p, :].reshape(1, Np)
+            return jnp.where(d >= INF / 2, 0.0, d)
+
+        def exp_term(succ_r, succ_d, r_p):
+            # exp((R[succ] - R - D[succ]) / gamma); -INF successors → 0
+            return jnp.exp((succ_r - r_p - succ_d) / gamma)
+
+        def bwd_body(k, carry):
+            e1, e2 = carry  # E diagonals p+1, p+2
+            p = P - 1 - k
+            r_p = load_R(p)
+            in1 = p + 1 < P
+            r_n1 = jnp.where(in1, load_R(jnp.minimum(p + 1, P - 1)), -INF)
+            d_n1 = jnp.where(in1, load_D(jnp.minimum(p + 1, P - 1)), 0.0)
+            in2 = p + 2 < P
+            r_n2 = jnp.where(in2, load_R(jnp.minimum(p + 2, P - 1)), -INF)
+            d_n2 = jnp.where(in2, load_D(jnp.minimum(p + 2, P - 1)), 0.0)
+
+            ea = shift_up(e1, 0.0) * exp_term(shift_up(r_n1, -INF),
+                                              shift_up(d_n1, 0.0), r_p)
+            eb = e1 * exp_term(r_n1, d_n1, r_p)
+            ec = shift_up(e2, 0.0) * exp_term(shift_up(r_n2, -INF),
+                                              shift_up(d_n2, 0.0), r_p)
+            e_new = ea + eb + ec
+            # seed: the final interior cell (N-1, M-1) has E = 1
+            e_new = jnp.where((p == P - 1) & (row == N - 1), 1.0, e_new)
+            # zero everywhere the cell itself is invalid (off-grid / band)
+            e_new = jnp.where(r_p <= -INF / 2, 0.0, e_new)
+            e_ref[0, p, :] = e_new[0]
+            return (e_new, e1)
+
+        e_init = r_init * 0.0
+        jax.lax.fori_loop(0, P, bwd_body, (e_init, e_init))
+
+    val, e_skew = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, P, Np), lambda b: (b, 0, 0),
+                               memory_space=pl.ANY if interpret else
+                               pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, 1, Np), lambda b: (b, 0, 0),
+                                memory_space=pl.ANY if interpret else
+                                pltpu.VMEM),
+                   pl.BlockSpec((1, P, Np), lambda b: (b, 0, 0),
+                                memory_space=pl.ANY if interpret else
+                                pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((B, 1, Np), D.dtype),
+                   jax.ShapeDtypeStruct((B, P, Np), D.dtype)],
+        scratch_shapes=[pltpu.VMEM((P, Np), D.dtype)],
+        interpret=interpret,
+    )(Ds)
+    # unskew: E[b, i, j] = e_skew[b, i+j, i]
+    i = np.arange(N)[:, None]
+    j = np.arange(M)[None, :]
+    E = e_skew[:, i + j, i]
+    return val[:, 0, N - 1], E
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def softdtw_pallas_diff(D: jnp.ndarray, gamma: float = 1.0,
+                        bandwidth: float = 0.0,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Differentiable soft-DTW running BOTH passes as Pallas kernels — the
+    TPU analogue of the reference's autograd.Function over its two CUDA
+    kernels (soft_dtw_cuda.py:114-174)."""
+    return softdtw_pallas(D, gamma, bandwidth, interpret)
+
+
+def _softdtw_pallas_fwd(D, gamma, bandwidth, interpret):
+    value, E = softdtw_pallas_grad(D, gamma, bandwidth, interpret)
+    return value, E
+
+
+def _softdtw_pallas_bwd(gamma, bandwidth, interpret, E, g):
+    return (g[:, None, None] * E,)
+
+
+softdtw_pallas_diff.defvjp(_softdtw_pallas_fwd, _softdtw_pallas_bwd)
 
 
 def softdtw_pallas(D: jnp.ndarray, gamma: float = 1.0,

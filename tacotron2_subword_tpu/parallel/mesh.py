@@ -22,6 +22,7 @@ import functools
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -38,6 +39,28 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
         n_data = len(devices) // n_model
     dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(dev, ("data", "model"))
+
+
+def collective_barrier(mesh: Mesh) -> None:
+    """Run one tiny all-device reduction and block on its result.
+
+    Under multi-process meshes the cross-process collective context (gloo
+    on CPU, the ICI/DCN channels on TPU) is established lazily at the FIRST
+    collective execution, with a rendezvous timeout (~30 s for gloo) far
+    shorter than a full-size first compile — so if host A finishes compiling
+    the train step long before host B, A's rendezvous times out while B is
+    still in XLA.  Running this barrier right after mesh creation, while all
+    hosts are in lockstep, establishes the context for the full device
+    clique up front; the big compiles can then skew freely."""
+    sharding = NamedSharding(mesh, P(("data", "model")))
+    n = mesh.devices.size
+    if jax.process_count() > 1:
+        local = np.zeros(n // jax.process_count(), np.float32)
+        x = jax.make_array_from_process_local_data(sharding, local)
+    else:
+        x = jax.device_put(np.zeros(n, np.float32), sharding)
+    val = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(x)
+    float(val)  # block until the collective ran everywhere
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -117,26 +140,51 @@ def hifigan_param_sharding(params: Any, mesh: Mesh):
     return shardings
 
 
+def _path_keys(path) -> tuple:
+    """Normalize a jax key path to a tuple of plain keys (dict keys, list
+    indices, attribute names)."""
+    out = []
+    for k in path:
+        if hasattr(k, "key"):
+            out.append(k.key)
+        elif hasattr(k, "idx"):
+            out.append(k.idx)
+        elif hasattr(k, "name"):
+            out.append(k.name)
+        else:
+            out.append(str(k))
+    return tuple(out)
+
+
 def train_state_shardings(state: T.TrainState, mesh: Mesh):
     """Shardings for the full TrainState: params via
-    tacotron_param_sharding; optimizer moments (which mirror param shapes)
-    get the matching param sharding by shape; everything else replicated."""
+    tacotron_param_sharding; optimizer moments get the matching param
+    sharding by tree PATH (the moment pytrees mirror the param pytree under
+    a chain/adam prefix, so a path-suffix match is exact — a shape-keyed
+    match would collide for distinct equal-shaped params, e.g. the two
+    encoder stacks); everything else replicated."""
     rep = replicate_sharding(mesh)
     pshard = tacotron_param_sharding(state.params, mesh)
-    by_shape = {}
-    for (p_leaf, s_leaf) in zip(jax.tree_util.tree_leaves(state.params),
-                                jax.tree_util.tree_leaves(pshard)):
-        if s_leaf is not rep:
-            by_shape[p_leaf.shape] = s_leaf
+    p_paths = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    by_path = {_path_keys(path): s
+               for (path, _), s in zip(p_paths,
+                                       jax.tree_util.tree_leaves(pshard))}
 
-    def match(x):
-        return by_shape.get(getattr(x, "shape", None), rep)
+    def match(path, x):
+        keys = _path_keys(path)
+        # opt-state leaf paths are param paths under a wrapper prefix
+        # (e.g. (2, 'mu', 'embedding')); match the longest suffix
+        for i in range(len(keys)):
+            s = by_path.get(keys[i:])
+            if s is not None:
+                return s
+        return rep
 
     return T.TrainState(
         step=rep,
         params=pshard,
         bn_state=jax.tree_util.tree_map(lambda _: rep, state.bn_state),
-        opt_state=jax.tree_util.tree_map(match, state.opt_state),
+        opt_state=jax.tree_util.tree_map_with_path(match, state.opt_state),
     )
 
 

@@ -87,6 +87,11 @@ def tacotron2_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, Any],
     total = mel_loss + gate_loss
 
     if cfg.align_loss and "align_target" in batch:
+        if cfg.n_frames_per_step != 1:
+            raise ValueError(
+                "align_loss requires n_frames_per_step=1: alignments are "
+                "per decoder step [B, T_out/r, T_text] but duration-expanded "
+                "align targets are per frame [B, T_out, T_text]")
         active = iteration < cfg.align_loss_max_iters
         if cfg.align_loss == "L2":
             a = jnp.mean((outputs["alignments"] - batch["align_target"]) ** 2)

@@ -109,3 +109,39 @@ def test_bucketed_loader_reshuffles_by_epoch(synth_dataset):
     b1 = next(iter(loader))
     b2 = next(iter(loader))
     assert not np.array_equal(b1["text_lengths"], b2["text_lengths"])
+
+
+def test_compile_plan_counts_bucket_shapes(tmp_path):
+    """The plan must enumerate exactly the bucket keys the loader will emit,
+    with utterance counts summing to the corpus size (the compile-budget
+    guard: each key is one XLA train-step compile)."""
+    import os
+    from tacotron2_subword_tpu.data.dataset import (BertTacotron2Dataset,
+                                                    BucketedLoader)
+    rng = np.random.RandomState(0)
+    mel_dir = tmp_path / "mels"
+    sub_dir = tmp_path / "sub"
+    cls_dir = tmp_path / "cls"
+    dur_dir = tmp_path / "dur"
+    for d in (mel_dir, sub_dir, cls_dir, dur_dir):
+        os.makedirs(d)
+    rows = []
+    spec = [(10, 4, 50), (20, 6, 100), (40, 10, 200), (41, 11, 201)]
+    for i, (t, s, m) in enumerate(spec):
+        np.save(dur_dir / f"{i}.npy",
+                np.stack([rng.randint(0, 9, t), np.ones(t, int)], 1))
+        np.save(mel_dir / f"ljspeech-mel-{i+1:05d}.npy",
+                rng.randn(80, m).astype(np.float32))
+        np.save(sub_dir / f"{i}.npy", rng.randint(0, 9, s).astype(np.int32))
+        np.save(cls_dir / f"{i}.npy", rng.randn(8).astype(np.float32))
+        rows.append(["x.wav", str(dur_dir / f"{i}.npy")])
+    ds = BertTacotron2Dataset(rows, str(mel_dir), str(sub_dir), str(cls_dir))
+    loader = BucketedLoader(ds, batch_size=2, text_edges=(16, 32, 64),
+                            sub_edges=(8, 16), mel_edges=(64, 128, 256))
+    plan = loader.compile_plan()
+    assert plan == {(16, 8, 64): 1, (32, 8, 128): 1, (64, 16, 256): 2}
+    assert sum(plan.values()) == len(ds)
+    # the loader emits exactly the planned keys
+    emitted = {(b["text"].shape[1], b["sub"].shape[1], b["mels"].shape[2])
+               for b in loader}
+    assert emitted == set(plan)

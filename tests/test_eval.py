@@ -97,3 +97,49 @@ def test_ssim_basics():
     assert float(ssim(img, img)) > 0.99
     other = jnp.asarray(rng.rand(2, 1, 32, 32).astype(np.float32))
     assert float(ssim(img, other)) < 0.5
+
+
+def _harmonics(f0, tilt, fs=16000, n=20):
+    t = np.arange(fs) / fs
+    sig = sum((1.0 / (k ** tilt)) * np.sin(2 * np.pi * f0 * k * t)
+              for k in range(1, n))
+    return (sig / np.abs(sig).max()).astype(np.float32)
+
+
+def test_mcd_monotone_in_noise():
+    """Known-degraded pairs must score strictly worse as degradation grows —
+    the property the checkpoint-sweep quality ledger relies on (the
+    reference's acceptance metric, best_checkpoint.py:386-420)."""
+    fs = 16000
+    a = _harmonics(150, 1.0)
+    noise = np.random.RandomState(7).randn(len(a)).astype(np.float32)
+    mcds = [E.mcd_between_wavs(a, (a + lvl * noise) / (1 + lvl), fs)
+            for lvl in (0.003, 0.01, 0.03, 0.1)]
+    assert all(m is not None for m in mcds)
+    assert all(b > a_ for a_, b in zip(mcds, mcds[1:])), mcds
+
+
+def test_mcd_time_shift_worse_than_identical():
+    fs = 16000
+    a = _harmonics(150, 1.0)
+    shift = int(0.013 * fs)  # 13 ms — off the 5 ms frame grid
+    shifted = np.concatenate([np.zeros(shift, np.float32), a])[:len(a)]
+    assert E.mcd_between_wavs(a, a, fs) < 1e-6
+    assert E.mcd_between_wavs(a, shifted, fs) > 1.0
+
+
+def test_metric_golden_values():
+    """Pinned outputs of the native F0/MCEP/MCD path on deterministic
+    signals: any numerical change to the pipeline (window, warp, DCT,
+    voicing) trips this before it can silently skew a quality ledger."""
+    fs = 16000
+    a = _harmonics(150, 1.0)
+    b = _harmonics(260, 2.5)
+    mcep, f0 = E.mel_cepstrum(a, fs)
+    assert mcep.shape == (188, 24)
+    np.testing.assert_allclose(float(np.median(f0[f0 > 0])), 149.533,
+                               rtol=1e-2)
+    np.testing.assert_allclose(
+        mcep[0, :4], [-84.2979, 97.0734, -42.7414, 11.792], rtol=1e-2)
+    np.testing.assert_allclose(E.mcd_between_wavs(a, b, fs), 419.333,
+                               rtol=1e-2)

@@ -235,3 +235,65 @@ def test_bf16_compute_path_close_to_f32():
                     gate_threshold=1.1)
     assert np.isfinite(np.asarray(out16["mel_postnet"],
                                   np.float32)).all()
+
+
+def test_n_frames_per_step_gt1_forward_and_infer():
+    """r>1: the decoder scans groups of r frames (reference
+    model.py:272-320); mel comes back ungrouped at frame granularity, gate
+    energies repeat per frame, alignments are per decoder step."""
+    r = 2
+    cfg = SMALL.replace(n_frames_per_step=r)
+    params, bn = M.init_tacotron2(jax.random.PRNGKey(0), cfg)
+    # prenet/projection must be sized r*n_mels
+    assert params["decoder"]["prenet"][0]["w"].shape[0] == r * cfg.n_mel_channels
+    assert (params["decoder"]["linear_projection"]["w"].shape[-1]
+            == r * cfg.n_mel_channels)
+
+    B, T_out = 3, 16
+    batch = make_batch(cfg, B=B, T_out=T_out)
+    out, _ = M.forward(params, bn, cfg, batch, training=True,
+                       rng=jax.random.PRNGKey(1))
+    assert out["mel"].shape == (B, cfg.n_mel_channels, T_out)
+    assert out["mel_postnet"].shape == (B, cfg.n_mel_channels, T_out)
+    assert out["gate"].shape == (B, T_out)
+    assert out["alignments"].shape == (B, T_out // r, batch["text"].shape[1])
+    # gate energy is per decoder step, repeated r times (valid region only —
+    # parse_output fills padded frames with GATE_PAD_VALUE at frame level)
+    g = np.asarray(out["gate"])
+    valid = int(batch["output_lengths"].min()) // r * r
+    np.testing.assert_array_equal(g[:, 0:valid:r], g[:, 1:valid:r])
+
+    inf = M.infer(params, bn, cfg, batch["text"], batch["sub"],
+                  batch["cls_phone"], batch["cls_sub"],
+                  rng=jax.random.PRNGKey(2), max_steps=6,
+                  gate_threshold=1.1)
+    assert inf["mel"].shape == (B, cfg.n_mel_channels, 6 * r)
+    assert inf["mel_postnet"].shape == (B, cfg.n_mel_channels, 6 * r)
+    # never fired -> ran all 6 steps = 12 frames
+    np.testing.assert_array_equal(np.asarray(inf["mel_lengths"]), 6 * r)
+
+
+def test_n_frames_per_step_indivisible_raises():
+    cfg = SMALL.replace(n_frames_per_step=2)
+    params, bn = M.init_tacotron2(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(cfg, T_out=13)  # 13 % 2 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        M.forward(params, bn, cfg, batch, training=False,
+                  rng=jax.random.PRNGKey(1))
+
+
+def test_n_frames_per_step_train_step_reduces_loss():
+    from tacotron2_subword_tpu import train_lib as T
+    cfg = SMALL.replace(n_frames_per_step=2)
+    state, tx = T.create_train_state(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(cfg, T_out=16)
+    batch["gate_target"] = T.make_gate_target(batch["output_lengths"], 16)
+    step = jax.jit(T.train_step, static_argnums=(3, 4))
+    first = None
+    for i in range(6):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i),
+                              cfg, tx)
+        if first is None:
+            first = float(metrics["total"])
+    assert np.isfinite(float(metrics["total"]))
+    assert float(metrics["total"]) < first

@@ -215,3 +215,85 @@ def test_inference_mels_match_reference(torch_model, jax_params):
                                ref_post.numpy(), atol=2e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(out["alignments"]),
                                ref_al.numpy(), atol=1e-4)
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("FULL_PARITY"),
+                    reason="full-size parity is opt-in: FULL_PARITY=1 "
+                           "(CPU runtime ~2-4 min, ~1 GB RAM)")
+def test_full_size_teacher_forced_parity(ref_modules):
+    """Parity at the reference's PRODUCTION dims (512 embed / 1024 RNNs /
+    80 mels / 313+5500 vocabs, reference hparams.py:62-95) — reduced-dim
+    parity can hide dim-dependent bugs (init gains, layout, fan-in scaling).
+    Teacher-forced, parity_mode (f32 highest precision), tolerance 2e-4."""
+    import os
+    from tacotron2_subword_tpu.config import TacotronConfig
+    from tacotron2_subword_tpu.models import tacotron2 as M
+    from tacotron2_subword_tpu.utils.import_torch import (
+        params_from_torch_state_dict)
+
+    ref_hparams, ref_model = ref_modules
+    hp = ref_hparams.create_hparams()  # production defaults
+    torch.manual_seed(0)
+    tm = ref_model.BERT_Tacotron2(hp)
+    tm.eval()
+
+    cfg = TacotronConfig(prenet_dropout_always_on=False, parity_mode=True)
+    assert cfg.symbols_embedding_dim == hp.symbols_embedding_dim == 512
+    assert cfg.decoder_rnn_dim == hp.decoder_rnn_dim == 1024
+    sd = {k: v.detach().cpu().numpy() for k, v in tm.state_dict().items()}
+    params, bn = params_from_torch_state_dict(sd, cfg)
+
+    rng = np.random.RandomState(42)
+    B, T_text, T_sub, T_out = 2, 16, 8, 24
+    b = dict(
+        text=rng.randint(1, cfg.n_symbols, (B, T_text)),
+        text_lengths=np.asarray([T_text, T_text - 5]),
+        sub=rng.randint(1, cfg.sub_n_symbols, (B, T_sub)),
+        sub_lengths=np.asarray([T_sub, T_sub - 3]),
+        mels=rng.randn(B, cfg.n_mel_channels, T_out).astype(np.float32),
+        output_lengths=np.asarray([T_out, T_out - 6]),
+        cls=rng.randn(B, cfg.bert_embedding_dim).astype(np.float32),
+    )
+    cls_phone = np.repeat(b["cls"][:, None, :], T_text, axis=1)
+    cls_sub = np.repeat(b["cls"][:, None, :], T_sub, axis=1)
+    inputs = (
+        torch.from_numpy(b["text"]).long(),
+        torch.from_numpy(b["text_lengths"]).long(),
+        torch.from_numpy(b["sub_lengths"]).long(),
+        torch.from_numpy(b["mels"]),
+        (T_text, T_out),
+        torch.from_numpy(b["output_lengths"]).long(),
+        torch.from_numpy(b["sub"]).long(),
+        torch.from_numpy(cls_phone),
+        torch.from_numpy(cls_sub),
+    )
+    ident = lambda x, p=0.5, training=False, inplace=False: x
+    orig = torch.nn.functional.dropout
+    torch.nn.functional.dropout = ident
+    try:
+        with torch.no_grad():
+            ref_mel, ref_post, ref_gate, ref_al, ref_al_b = tm(inputs)
+    finally:
+        torch.nn.functional.dropout = orig
+
+    batch = {
+        "text": jnp.asarray(b["text"]),
+        "text_lengths": jnp.asarray(b["text_lengths"]),
+        "sub": jnp.asarray(b["sub"]),
+        "sub_lengths": jnp.asarray(b["sub_lengths"]),
+        "mels": jnp.asarray(b["mels"]),
+        "output_lengths": jnp.asarray(b["output_lengths"]),
+        "cls_phone": jnp.asarray(cls_phone), "cls_sub": jnp.asarray(cls_sub),
+    }
+    out, _ = M.forward(params, bn, cfg, batch, training=False,
+                       rng=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out["mel"]), ref_mel.numpy(),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["mel_postnet"]),
+                               ref_post.numpy(), atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["gate"]), ref_gate.numpy(),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["alignments"]),
+                               ref_al.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["alignments_bert"]),
+                               ref_al_b.numpy(), atol=1e-4)

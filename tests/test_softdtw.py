@@ -126,3 +126,46 @@ def test_pallas_kernel_bandwidth():
     out = np.asarray(SD.softdtw_pallas(jnp.asarray(D), 1.0, 2.0,
                                        interpret=True))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_banded_gradient_no_nans_and_matches_fd():
+    """Regression: with bandwidth > 0 the backward used to propagate NaNs
+    from banned cells (R=-INF successors) across the whole E matrix."""
+    rng = np.random.default_rng(5)
+    D = jnp.asarray(rng.standard_normal((2, 14, 14)).astype(np.float32) ** 2)
+    bw = 4.0
+    g = jax.grad(lambda d: jnp.sum(SD.softdtw(d, 1.0, bw)))(D)
+    assert not bool(jnp.isnan(g).any())
+    # finite differences on a few in-band entries
+    f = lambda d: float(jnp.sum(SD.softdtw(d, 1.0, bw)))
+    eps = 1e-2
+    for (b, i, j) in [(0, 3, 3), (1, 5, 7), (0, 10, 8)]:
+        fd = (f(D.at[b, i, j].add(eps)) - f(D.at[b, i, j].add(-eps))) / (2 * eps)
+        np.testing.assert_allclose(float(g[b, i, j]), fd, rtol=5e-2, atol=1e-3)
+    # banned cells have exactly zero gradient
+    band = np.abs(np.arange(1, 15)[:, None] - np.arange(1, 15)[None, :]) <= bw
+    assert float(jnp.abs(jnp.where(jnp.asarray(band)[None], 0.0, g)).max()) == 0.0
+
+
+@pytest.mark.parametrize("shape,bw", [((3, 17, 15), 0.0), ((2, 24, 24), 5.0),
+                                      ((2, 20, 30), 12.0)])
+def test_pallas_fused_grad_matches_scan(shape, bw):
+    """The fused Pallas forward+backward kernel (interpret mode in CI; run
+    on real TPU by tools/tpu_kernel_evidence.py) must reproduce the scan
+    custom-VJP exactly."""
+    rng = np.random.default_rng(0)
+    B, N, M = shape
+    x = jnp.asarray(rng.standard_normal((B, N, 2), dtype=np.float32))
+    y = jnp.asarray(rng.standard_normal((B, M, 2), dtype=np.float32))
+    D = SD.euclidean_dist_matrix(x, y)
+    v_scan, g_scan = jax.value_and_grad(
+        lambda d: jnp.sum(SD.softdtw(d, 1.0, bw)))(D)
+    v_pal, E = SD.softdtw_pallas_grad(D, 1.0, bw, interpret=True)
+    np.testing.assert_allclose(np.asarray(jnp.sum(v_pal)), np.asarray(v_scan),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(E), np.asarray(g_scan), atol=1e-5)
+    # differentiable wrapper routes its VJP through the fused kernel
+    v2, g2 = jax.value_and_grad(
+        lambda d: jnp.sum(SD.softdtw_pallas_diff(d, 1.0, bw, True)))(D)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v_scan), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g_scan), atol=1e-5)

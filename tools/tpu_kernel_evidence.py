@@ -1,0 +1,117 @@
+"""Run the Pallas kernels on the REAL TPU and record timing + parity vs the
+scan/jnp reference paths — hardware evidence that the kernels compile and
+match outside interpret mode (CI runs them interpret-only on CPU).
+
+Covers:
+ - softdtw_pallas           forward wavefront kernel
+ - softdtw_pallas_grad      FUSED forward+backward wavefront kernel
+                            (the reference ships this pair as numba CUDA
+                            kernels, soft_dtw_cuda.py:33-111)
+ - matmul_dequant_int8      weight-only int8 matmul kernel (ops/quant.py)
+
+Usage: python tools/tpu_kernel_evidence.py [--out NOTE.md]
+NOTE: the axon compile endpoint is serialized — do not run while training.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def fetch_ms(fn, *args, repeats=10):
+    """Median wall ms over enqueued calls, timed by host fetch of a scalar
+    reduction (block_until_ready returns early through the axon tunnel)."""
+    import jax.numpy as jnp
+    out = fn(*args)
+    np.asarray(jnp.asarray(out).sum() if not isinstance(out, tuple)
+               else sum(jnp.asarray(o).sum() for o in out))  # warm/compile
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(repeats)]
+    for o in outs:
+        np.asarray(jnp.asarray(o).sum() if not isinstance(o, tuple)
+                   else sum(jnp.asarray(x).sum() for x in o))
+    return (time.perf_counter() - t0) / repeats * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from tacotron2_subword_tpu.ops import softdtw as SD
+    from tacotron2_subword_tpu.ops import quant as Q
+
+    platform = jax.devices()[0].platform
+    lines = [f"TPU kernel evidence — platform={platform}, "
+             f"device={jax.devices()[0].device_kind}"]
+    ok = True
+
+    # --- soft-DTW: the reference profile harness shapes
+    # (soft_dtw_cuda.py:421-428) ---------------------------------------
+    rng = np.random.default_rng(0)
+    for (B, L_a, L_b) in [(128, 17, 15), (512, 64, 64), (512, 256, 256)]:
+        x = jnp.asarray(rng.standard_normal((B, L_a, 2), dtype=np.float32))
+        y = jnp.asarray(rng.standard_normal((B, L_b, 2), dtype=np.float32))
+        D = SD.euclidean_dist_matrix(x, y)
+
+        scan_fb = jax.jit(jax.value_and_grad(
+            lambda d: jnp.sum(SD.softdtw(d, 1.0, 0.0))))
+        pal_f = jax.jit(lambda d: SD.softdtw_pallas(d, 1.0, 0.0))
+        pal_fb = jax.jit(lambda d: SD.softdtw_pallas_grad(d, 1.0, 0.0))
+
+        v_scan, g_scan = scan_fb(D)
+        v_pal = pal_f(D)
+        v_pal2, E = pal_fb(D)
+        dv = float(jnp.abs(jnp.sum(v_pal) - v_scan))
+        dv2 = float(jnp.abs(jnp.sum(v_pal2) - v_scan))
+        dg = float(jnp.abs(E - g_scan).max())
+        t_scan = fetch_ms(scan_fb, D)
+        t_f = fetch_ms(pal_f, D)
+        t_fb = fetch_ms(pal_fb, D)
+        good = dv < 1e-3 and dv2 < 1e-3 and dg < 1e-5
+        ok &= good
+        lines.append(
+            f"softdtw B={B} {L_a}x{L_b}: scan fwd+bwd {t_scan:.2f} ms | "
+            f"pallas fwd {t_f:.2f} ms | pallas FUSED fwd+bwd {t_fb:.2f} ms | "
+            f"|dval|={dv:.2e}/{dv2:.2e} |dgrad|max={dg:.2e} "
+            f"{'OK' if good else 'MISMATCH'}")
+
+    # --- int8 weight-only matmul kernel --------------------------------
+    for (M, K, N) in [(8, 1792, 4096), (128, 1792, 4096)]:
+        xq = jnp.asarray(rng.standard_normal((M, K), dtype=np.float32)
+                         ).astype(jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((K, N), dtype=np.float32))
+        w_q, scale = Q.quantize_int8(w, axis=0)
+        ref = jax.jit(lambda x, wq, s: Q._ref_matmul(x, wq, s))
+        ker = jax.jit(lambda x, wq, s: Q.matmul_dequant_int8(x, wq, s))
+        r0 = np.asarray(ref(xq, w_q, scale), np.float32)
+        r1 = np.asarray(ker(xq, w_q, scale), np.float32)
+        rel = np.abs(r1 - r0).max() / max(np.abs(r0).max(), 1e-6)
+        t_ref = fetch_ms(ref, xq, w_q, scale)
+        t_ker = fetch_ms(ker, xq, w_q, scale)
+        good = rel < 2e-2
+        ok &= good
+        lines.append(f"int8 matmul {M}x{K}x{N}: jnp-ref {t_ref:.2f} ms | "
+                     f"pallas {t_ker:.2f} ms | rel_err {rel:.2e} "
+                     f"{'OK' if good else 'MISMATCH'}")
+
+    report = "\n".join(lines)
+    print(report)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("# Pallas kernels on real TPU\n\n```\n" + report
+                    + "\n```\n")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
