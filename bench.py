@@ -129,6 +129,38 @@ def run_train(batch: int, t_out: int = TRAIN_T_OUT,
     return dt * 1e3, batch * t_out / dt  # (ms/step, frames/s)
 
 
+def run_vocoders(batch: int = 4, frames: int = 256, repeats: int = 6):
+    """HiFi-GAN and WaveGlow synthesis rates in kHz of audio samples
+    generated per second — comparable to the only hardware number in the
+    reference chain, WaveGlow's ~1200 kHz on a V100
+    (reference waveglow/README.md:17-18)."""
+    import jax
+    import jax.numpy as jnp
+    from tacotron2_subword_tpu.models import hifigan as HG
+    from tacotron2_subword_tpu.models import waveglow as WG
+
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(batch, 80, frames).astype(np.float32))
+
+    h = HG.HifiganConfig()
+    gen = HG.fuse_generator(HG.init_generator(jax.random.PRNGKey(0), h))
+    hifi = jax.jit(lambda p, m: jnp.float32(
+        HG.generator_apply(p, h, m).mean()))
+    np.asarray(hifi(gen, mel))  # compile
+    dt = _fetch_time([(lambda i=i: hifi(gen, mel)) for i in range(repeats)])
+    hifi_khz = batch * frames * 256 / dt / 1e3
+
+    wcfg = WG.WaveGlowConfig()
+    wg = WG.init_waveglow(jax.random.PRNGKey(1), wcfg)
+    wg_infer = jax.jit(lambda p, m, k: jnp.float32(
+        WG.infer(p, wcfg, m, sigma=0.6, key=k).mean()))
+    np.asarray(wg_infer(wg, mel, jax.random.PRNGKey(2)))  # compile
+    dt = _fetch_time([(lambda i=i: wg_infer(wg, mel, jax.random.PRNGKey(3 + i)))
+                      for i in range(repeats)])
+    wg_khz = batch * frames * 256 / dt / 1e3
+    return hifi_khz, wg_khz
+
+
 def main():
     import subprocess
     import sys
@@ -146,6 +178,7 @@ def main():
                                       INFER_REPEATS)
     train8_ms, train8_fps = run_train(8)
     train64_ms, train64_fps = run_train(64)
+    hifi_khz, wg_khz = run_vocoders()
     vs = tpu_rate / cpu_rate if np.isfinite(cpu_rate) else float("nan")
     print(json.dumps({
         "metric": ("mel audio-seconds synthesized/sec/chip "
@@ -162,6 +195,9 @@ def main():
             "train_frames_per_s_B64": round(train64_fps, 1),
             "train_workload": f"bf16 fwd+bwd+Adam, T_out={TRAIN_T_OUT}, "
                               f"x{TRAIN_REPEATS} chained steps",
+            "hifigan_synthesis_khz": round(hifi_khz, 1),
+            "waveglow_synthesis_khz": round(wg_khz, 1),
+            "waveglow_vs_v100_1200khz": round(wg_khz / 1200.0, 2),
         },
     }))
 

@@ -297,3 +297,41 @@ def test_n_frames_per_step_train_step_reduces_loss():
             first = float(metrics["total"])
     assert np.isfinite(float(metrics["total"]))
     assert float(metrics["total"]) < first
+
+
+def test_prenet_always_on_dropout_distribution():
+    """The parity tests neutralize dropout to compare deterministically
+    (test_reference_parity.py); this covers the always-on prenet dropout
+    path DISTRIBUTIONALLY: inverted-dropout scaling must keep the expected
+    output equal to relu(Wx) * keep-mask expectation, i.e. E[drop(y)] = y,
+    and per-unit zero rate must be ~0.5 (reference model.py:23 runs
+    F.dropout(p=0.5, training=True) unconditionally)."""
+    cfg = SMALL
+    params, _ = M.init_tacotron2(jax.random.PRNGKey(0), cfg)
+    pp = params["decoder"]["prenet"]
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(64, cfg.n_mel_channels).astype(np.float32))
+
+    # single layer: E[drop(relu(Wx))] == relu(Wx) EXACTLY under inverted
+    # dropout (the stacked prenet has a relu between the layers, so the
+    # full-stack expectation carries a Jensen bias by design — same as
+    # torch)
+    layer1 = [pp[0]]
+    base1 = np.asarray(M.prenet_apply(layer1, x, None, dropout_on=False))
+    n = 600
+    acc = 0.0
+    for k in range(n):
+        acc = acc + M.prenet_apply(layer1, x, jax.random.PRNGKey(1000 + k),
+                                   dropout_on=True)
+    mean1 = np.asarray(acc / n)
+    live = base1 > 1e-2
+    rel = np.abs(mean1 - base1)[live] / base1[live]
+    assert np.median(rel) < 0.1, float(np.median(rel))
+
+    # full stack: ~half the units zeroed per draw, never all, never none
+    zero = 0.0
+    for k in range(50):
+        y = np.asarray(M.prenet_apply(pp, x, jax.random.PRNGKey(k),
+                                      dropout_on=True))
+        zero += (y == 0.0).mean()
+    assert 0.35 < zero / 50 < 0.9, zero / 50

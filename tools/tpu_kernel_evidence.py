@@ -85,12 +85,15 @@ def main():
             f"|dval|={dv:.2e}/{dv2:.2e} |dgrad|max={dg:.2e} "
             f"{'OK' if good else 'MISMATCH'}")
 
-    # --- int8 weight-only matmul kernel --------------------------------
+    # --- int8 weight-only matmul kernel (stacked LSTM layout [S,B,K]) ---
     for (M, K, N) in [(8, 1792, 4096), (128, 1792, 4096)]:
-        xq = jnp.asarray(rng.standard_normal((M, K), dtype=np.float32)
+        S_stack = 2
+        xq = jnp.asarray(rng.standard_normal((S_stack, M, K),
+                                             dtype=np.float32)
                          ).astype(jnp.bfloat16)
-        w = jnp.asarray(rng.standard_normal((K, N), dtype=np.float32))
-        w_q, scale = Q.quantize_int8(w, axis=0)
+        w = jnp.asarray(rng.standard_normal((S_stack, K, N),
+                                            dtype=np.float32))
+        w_q, scale = Q.quantize_int8(w, axis=1)
         ref = jax.jit(lambda x, wq, s: Q._ref_matmul(x, wq, s))
         ker = jax.jit(lambda x, wq, s: Q.matmul_dequant_int8(x, wq, s))
         r0 = np.asarray(ref(xq, w_q, scale), np.float32)
