@@ -129,6 +129,41 @@ def dtw_path(x: np.ndarray, y: np.ndarray
 
 
 # ---------------------------------------------------------------------------
+# Soft-DTW (numpy, host-side)
+# ---------------------------------------------------------------------------
+
+def softdtw_np(D: np.ndarray, gamma: float = 1.0) -> float:
+    """Soft-DTW value of one distance matrix, pure numpy anti-diagonal DP.
+
+    For EVALUATION ledgers: every utterance pair has a different [N, M]
+    shape, and the jax implementation (ops/softdtw.py) would trigger one
+    XLA compile per shape — on the serialized TPU compile endpoint that
+    made checkpoint sweeps minutes-per-utterance.  Semantics identical to
+    ops.softdtw.softdtw (same softmin recursion)."""
+    N, M = D.shape
+    INF = 1e30
+    r1 = np.full(N, INF)
+    r2 = np.full(N, INF)
+    rows = np.arange(N)
+    for p in range(N + M - 1):
+        j = p - rows
+        valid = (j >= 0) & (j < M)
+        d = np.where(valid, D[rows, np.clip(j, 0, M - 1)], INF)
+        down = np.concatenate(([INF], r1[:-1]))    # (i-1, j)
+        dd = np.concatenate(([INF], r2[:-1]))      # (i-1, j-1)
+        if p == 0:
+            dd[0] = 0.0
+        z = np.stack([-down, -r1, -dd]) / gamma
+        zmax = z.max(axis=0)
+        sm = np.where(zmax <= -INF / 2, -INF,
+                      gamma * (np.log(np.exp(z - zmax[None]).sum(axis=0))
+                               + zmax))
+        r_new = np.where(valid, d - sm, INF)
+        r2, r1 = r1, r_new
+    return float(r1[N - 1])
+
+
+# ---------------------------------------------------------------------------
 # MCD
 # ---------------------------------------------------------------------------
 

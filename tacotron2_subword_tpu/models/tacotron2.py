@@ -626,8 +626,10 @@ def decoder_infer(dp, cfg: TacotronConfig, memory, memory_b, *, rng,
     steps emits r = n_frames_per_step frames (reference model.py:272-320).
     """
     S = int(max_steps or cfg.max_decoder_steps)
-    thresh = float(gate_threshold if gate_threshold is not None
-                   else cfg.gate_threshold)
+    # may be a python float OR a traced scalar: keeping it dynamic lets a
+    # jitted caller sweep thresholds without recompiling the decode loop
+    thresh = (cfg.gate_threshold if gate_threshold is None
+              else gate_threshold)
     B = memory.shape[0]
     M = cfg.n_mel_channels
     r = cfg.n_frames_per_step

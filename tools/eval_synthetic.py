@@ -1,12 +1,20 @@
-"""Quality evaluation of a trained checkpoint on the synthetic dataset
+"""Quality evaluation of trained checkpoints on the synthetic dataset
 (tools/make_synthetic_dataset.py): free-running inference from phone IDs,
 then mel soft-DTW + MCD vs ground truth (the reference's acceptance metrics,
 evaluation.py:70-117 / softdtw.py:75-97, applied at mel level since the
 synthetic corpus has no recorded audio).
 
+Performance notes (hard-won, see CLAUDE.md):
+ - ONE batched decode per (checkpoint, threshold), via ONE jitted infer
+   function shared across the whole sweep with the gate threshold as a
+   traced argument — per-utterance calls and per-threshold recompiles cost
+   minutes each through the serialized axon compile endpoint;
+ - metrics run host-side in numpy (eval.metrics.softdtw_np): the jax
+   soft-DTW would compile once per distance-matrix shape.
+
 Usage: python tools/eval_synthetic.py --data /tmp/synth_data \
-           --checkpoint /tmp/run/checkpoint_best --hparams "[...]" \
-           [--n 16] [--out-csv eval.csv]
+           --checkpoint /tmp/run/checkpoint_best [--sweep-dir RUN_DIR] \
+           [--gate-thresholds 0.5,0.001] [--n 16] [--out-csv eval.csv]
 """
 
 from __future__ import annotations
@@ -38,9 +46,11 @@ def main():
     ap.add_argument("--hparams", default=None)
     ap.add_argument("--n", type=int, default=16)
     ap.add_argument("--max-steps", type=int, default=256)
-    ap.add_argument("--gate-threshold", type=float, default=None,
-                    help="override cfg.gate_threshold (the reference "
-                         "default 0.001 is hair-trigger)")
+    ap.add_argument("--gate-thresholds", default=None,
+                    help="comma-separated list; default = cfg value (the "
+                         "reference's 0.001 is hair-trigger — a healthy "
+                         "gate's noise floor is ~3e-3; 0.5 is the robust "
+                         "setting)")
     ap.add_argument("--out-csv", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -50,13 +60,13 @@ def main():
     from tacotron2_subword_tpu.config import create_config
     from tacotron2_subword_tpu import train_lib as T
     from tacotron2_subword_tpu.models import tacotron2 as M
-    from tacotron2_subword_tpu.ops import softdtw as SD
-    from tacotron2_subword_tpu.ops import stft as S
     from tacotron2_subword_tpu.eval import metrics as EM
     from tacotron2_subword_tpu.utils import checkpoint as CK
 
     cfg = create_config(hparams_string=args.hparams)
     skeleton, _ = T.create_train_state(jax.random.PRNGKey(0), cfg)
+    thresholds = ([float(t) for t in args.gate_thresholds.split(",")]
+                  if args.gate_thresholds else [cfg.gate_threshold])
 
     if args.sweep_dir:
         from tacotron2_subword_tpu.apps.best_checkpoint import \
@@ -67,19 +77,31 @@ def main():
             ap.error("one of --checkpoint / --sweep-dir is required")
         ckpts = [args.checkpoint]
 
-    ledger = []
+    # ONE jitted batched decode reused across every checkpoint AND
+    # threshold (threshold is traced, not baked in)
+    @jax.jit
+    def infer_fn(params, bn, text, sub, cls, t_lens, s_lens, thresh):
+        return M.infer(params, bn, cfg, text, sub, cls, cls,
+                       rng=jax.random.PRNGKey(100),
+                       max_steps=args.max_steps, gate_threshold=thresh,
+                       text_lengths=t_lens, sub_lengths=s_lens)
+
+    batch = load_val_batch(args)
+    ledger, rows = [], []
     for ckpt in ckpts:
-        summary, rows = eval_checkpoint(args, cfg, skeleton, ckpt,
-                                        M, SD, EM, CK)
-        ledger.append(summary)
-        print(f"{os.path.basename(ckpt)}: "
-              f"softdtw(mel)={summary['softdtw']:.4f}  "
-              f"MCD={summary['mcd']:.4f}  "
-              f"len_err={summary['len_err']*100:.1f}%  "
-              f"gate_ok={summary['gate_ok']}/{summary['n']}", flush=True)
+        state, _meta = CK.load_checkpoint(ckpt, skeleton)
+        for thr in thresholds:
+            summary, rows = eval_checkpoint(args, state, ckpt, thr,
+                                            infer_fn, batch, EM)
+            ledger.append(summary)
+            print(f"{os.path.basename(ckpt)} gate={thr}: "
+                  f"softdtw(mel)={summary['softdtw']:.4f}  "
+                  f"MCD={summary['mcd']:.4f}  "
+                  f"len_err={summary['len_err']*100:.1f}%  "
+                  f"gate_ok={summary['gate_ok']}/{summary['n']}", flush=True)
 
     if args.out_csv:
-        out_rows = ledger if args.sweep_dir else rows
+        out_rows = ledger if (args.sweep_dir or len(ledger) > 1) else rows
         with open(args.out_csv, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=list(out_rows[0].keys()))
             w.writeheader()
@@ -87,17 +109,9 @@ def main():
         print("wrote", args.out_csv)
 
 
-def eval_checkpoint(args, cfg, skeleton, ckpt, M, SD, EM, CK):
-    import scipy.fftpack
-
-    state, _meta = CK.load_checkpoint(ckpt, skeleton)
+def load_val_batch(args):
     base = os.path.join(args.data, "val")
-    rows = []
-    sdtw_vals, mcd_vals, len_err = [], [], []
     T_TEXT, T_SUB = 32, 16  # fixed padded shapes: ONE compile for the sweep
-    # ONE batched free-running decode for all utterances per checkpoint:
-    # per-utterance B=1 calls pay the per-call dispatch + transfer overhead
-    # n times and leave the MXU narrow (measured ~6x slower end-to-end)
     texts, subs, clss, gts, t_lens, s_lens = [], [], [], [], [], []
     for i in range(args.n):
         dur = np.load(os.path.join(base, "durations", f"{i}.npy"))
@@ -110,27 +124,32 @@ def eval_checkpoint(args, cfg, skeleton, ckpt, M, SD, EM, CK):
                                         f"ljspeech-mel-{i+1:05d}.npy")))
         t_lens.append(len(phones))
         s_lens.append(len(sub_ids))
-    cls_b = jnp.asarray(np.stack(clss))
-    out = M.infer(state.params, state.bn_state, cfg,
-                  jnp.asarray(np.stack(texts)), jnp.asarray(np.stack(subs)),
-                  cls_b, cls_b, rng=jax.random.PRNGKey(100),
-                  max_steps=args.max_steps,
-                  gate_threshold=args.gate_threshold,
-                  text_lengths=jnp.asarray(t_lens),
-                  sub_lengths=jnp.asarray(s_lens))
+    return dict(text=jnp.asarray(np.stack(texts)),
+                sub=jnp.asarray(np.stack(subs)),
+                cls=jnp.asarray(np.stack(clss)),
+                t_lens=jnp.asarray(t_lens), s_lens=jnp.asarray(s_lens),
+                gts=gts)
+
+
+def eval_checkpoint(args, state, ckpt, thr, infer_fn, batch, EM):
+    import scipy.fftpack
+
+    out = infer_fn(state.params, state.bn_state, batch["text"],
+                   batch["sub"], batch["cls"], batch["t_lens"],
+                   batch["s_lens"], jnp.float32(thr))
     mel_b = np.asarray(out["mel_postnet"], np.float32)
     lens_b = np.asarray(out["mel_lengths"])
     ok_b = np.asarray(out["infer_ok"])
 
+    rows, sdtw_vals, mcd_vals, len_err = [], [], [], []
     for i in range(args.n):
-        gt = gts[i]
+        gt = batch["gts"][i]
         n_frames = int(lens_b[i])
         pred = mel_b[i, :, :max(n_frames, 2)]
 
         # mel soft-DTW (normalized per frame-pair)  [reference softdtw.py]
         D = ((pred.T[:, None, :] - gt.T[None, :, :]) ** 2).sum(-1)
-        sdtw = float(SD.softdtw(jnp.asarray(D[None]), gamma=1.0)[0]) \
-            / (D.shape[0] + D.shape[1])
+        sdtw = EM.softdtw_np(D, gamma=1.0) / (D.shape[0] + D.shape[1])
         # MCD over DTW-aligned MCEPs computed directly from the mel (the
         # synthetic GT has no waveform; apply the MCD formula to DCT-II
         # cepstra of the log-mels, aligned by exact DTW)
@@ -140,14 +159,14 @@ def eval_checkpoint(args, cfg, skeleton, ckpt, M, SD, EM, CK):
         sdtw_vals.append(sdtw)
         mcd_vals.append(mcd)
         len_err.append(abs(n_frames - gt.shape[1]) / gt.shape[1])
-        rows.append({"utt": i, "frames_pred": n_frames,
+        rows.append({"utt": i, "gate": thr, "frames_pred": n_frames,
                      "frames_gt": gt.shape[1], "softdtw": round(sdtw, 4),
                      "mcd": round(mcd, 4),
                      "gate_ok": bool(ok_b[i])})
 
     summary = {
         "checkpoint": os.path.basename(ckpt), "step": int(state.step),
-        "n": len(rows), "softdtw": float(np.mean(sdtw_vals)),
+        "gate": thr, "n": len(rows), "softdtw": float(np.mean(sdtw_vals)),
         "mcd": float(np.mean(mcd_vals)), "len_err": float(np.mean(len_err)),
         "gate_ok": sum(r["gate_ok"] for r in rows),
     }
