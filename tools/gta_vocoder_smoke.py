@@ -64,7 +64,7 @@ def main():
         dur_path = os.path.join(base, "durations", f"{i}.npy")
         mel = np.load(os.path.join(base, "mels",
                                    f"ljspeech-mel-{i + 1:05d}.npy"))
-        wav = np.asarray(inv(jnp.asarray(mel)))
+        wav = np.asarray(inv(jnp.asarray(mel[None])))[0]
         wav = wav / max(1e-6, np.abs(wav).max()) * 0.8
         wav_path = os.path.join(wav_dir, f"placeholder_{i}.wav")
         wav_write(wav_path, 22050, (wav * 32767).astype(np.int16))

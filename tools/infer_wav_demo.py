@@ -68,8 +68,8 @@ def main():
           f"gate_stopped={ok} (INFER_FLAG)")
     assert ok, "decode hit max_steps — gate did not stop (INFER_FLAG=False)"
 
-    mel = jnp.asarray(np.asarray(out["mel_postnet"])[0, :, :max(n, 8)])
-    wav = np.asarray(S.inv_mel_spec(mel))
+    mel = jnp.asarray(np.asarray(out["mel_postnet"])[None, 0, :, :max(n, 8)])
+    wav = np.asarray(S.inv_mel_spec(mel))[0]
     wav = wav / max(1e-6, np.abs(wav).max()) * 0.8
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     wav_write(args.out, cfg.sampling_rate, (wav * 32767).astype(np.int16))
