@@ -68,7 +68,7 @@ def _kernel(x_ref, w_ref, s_ref, o_ref):
     x = x_ref[0]                       # [B, K] bf16
     w = w_ref[0].astype(x.dtype)       # [K, TN] int8 → bf16 (exact)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)  # MXU, f32 accum
-    o_ref[0] = y * s_ref[0].astype(jnp.float32)
+    o_ref[0] = y * s_ref[0].astype(jnp.float32)  # [B,TN] * [1,TN] broadcast
 
 
 def matmul_dequant_int8(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
@@ -97,11 +97,15 @@ def matmul_dequant_int8(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, block_n), lambda s, n: (s, 0, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda s, n: (s, n),
+            # scale fed as [S, 1, N]: a 2-D [S, N] input would need block
+            # (1, block_n), whose second-to-last dim (1) violates Mosaic's
+            # trailing-dims rule (div by 8 or full) — found on real TPU;
+            # interpret mode accepts it.
+            pl.BlockSpec((1, 1, block_n), lambda s, n: (s, 0, n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, B, block_n), lambda s, n: (s, 0, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, B, N), jnp.float32),
         interpret=interpret,
-    )(x, w_q, scale)
+    )(x, w_q, scale[:, None, :])

@@ -277,32 +277,52 @@ def profile(batch_size: int = 128, seq_len_a: int = 17, seq_len_b: int = 15,
     return float(jnp.sum(v))
 
 
+def _skew_blocked(D: jnp.ndarray, bandwidth: float, block_b: int):
+    """Host-side prep shared by the Pallas kernels: band-mask, skew so every
+    anti-diagonal is a lane-contiguous row, pad lanes to the 128 boundary,
+    pad batch to a multiple of ``block_b`` (padding rows are all-INF, which
+    both passes treat as dead cells), and fold the batch block into the
+    SUBLANE dim: [G, P, BB, Np] so one grid step processes BB rows as full
+    (8, 128) VPU tiles.  A [1, Np] diagonal uses 1/8 of the VPU sublanes;
+    measured on v5e this blocking is what makes the kernels beat the scan.
+    """
+    B, N, M = D.shape
+    band = jnp.asarray(_band_mask(N, M, bandwidth)[None], D.dtype)
+    Dm = jnp.where(band > 0, D, INF)
+    Ds = jnp.swapaxes(_skew(Dm), 1, 2)  # [B, P, N]: diagonal rows
+    P = N + M - 1
+    Np = max(128, -(-N // 128) * 128)
+    Bp = -(-B // block_b) * block_b
+    Ds = jnp.pad(Ds, ((0, Bp - B), (0, 0), (0, Np - N)),
+                 constant_values=INF)
+    Ds = Ds.reshape(Bp // block_b, block_b, P, Np).transpose(0, 2, 1, 3)
+    return Ds, P, Np, Bp
+
+
 def softdtw_pallas_grad(D: jnp.ndarray, gamma: float = 1.0,
                         bandwidth: float = 0.0,
-                        interpret: bool = False
+                        interpret: bool = False, *, block_b: int = 8
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """FUSED forward + backward soft-DTW as one Pallas TPU kernel:
     (value [B], E = d(value)/dD [B, N, M]).
 
     The reference ships the backward as a second CUDA wavefront kernel over
     reversed anti-diagonals (soft_dtw_cuda.py:78-111).  Here both passes run
-    in one kernel launch per batch row: the forward fori_loop writes every R
-    diagonal to a VMEM scratch, the backward fori_loop walks the diagonals
-    in reverse computing E[i,j] = sum over the three successors of
-    E[succ] * exp((R[succ] - R[i,j] - D[succ]) / gamma), seeded with
-    E[N-1,M-1] = 1 — so R never round-trips through HBM between the passes.
-    Same skewed diagonal-as-lane-vector layout as ``softdtw_pallas``.
+    in one kernel launch per block of ``block_b`` batch rows: the forward
+    fori_loop writes every R diagonal to a VMEM scratch, the backward
+    fori_loop walks the diagonals in reverse computing E[i,j] = sum over the
+    three successors of E[succ] * exp((R[succ] - R[i,j] - D[succ]) / gamma),
+    seeded with E[N-1,M-1] = 1 — so R never round-trips through HBM between
+    the passes.  Diagonals live on lanes, the batch block on sublanes
+    (see _skew_blocked).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, M = D.shape
-    band = jnp.asarray(_band_mask(N, M, bandwidth)[None], D.dtype)
-    Dm = jnp.where(band > 0, D, INF)
-    Ds = jnp.swapaxes(_skew(Dm), 1, 2)  # [B, P, Np]: diagonal rows
-    P = N + M - 1
-    Np = max(128, -(-N // 128) * 128)
-    Ds = jnp.pad(Ds, ((0, 0), (0, 0), (0, Np - N)), constant_values=INF)
+    BB = block_b
+    Ds, P, Np, Bp = _skew_blocked(D, bandwidth, BB)
+    G = Bp // BB
 
     def kernel(d_ref, val_ref, e_ref, r_scr):
         row = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
@@ -317,26 +337,26 @@ def softdtw_pallas_grad(D: jnp.ndarray, gamma: float = 1.0,
         # ---- forward: write every diagonal of R to scratch -------------
         def fwd_body(p, carry):
             r1, r2 = carry
-            d_p = d_ref[0, p, :].reshape(1, Np)
+            d_p = d_ref[0, p]                  # [BB, Np]
             down = shift_down(r1, INF)
             dd = shift_down(r2, INF)
             dd = jnp.where((p == 0) & (row == 0), 0.0, dd)
             sm = _softmin3(down, r1, dd, gamma)
             r_new = jnp.where(d_p >= INF / 2, INF, d_p + sm)
-            r_scr[p, :] = r_new[0]
+            r_scr[p] = r_new
             return (r_new, r1)
 
-        r_init = d_ref[0, 0, :].reshape(1, Np) * 0.0 + INF
+        r_init = d_ref[0, 0] * 0.0 + INF       # [BB, Np]
         r_last, _ = jax.lax.fori_loop(0, P, fwd_body, (r_init, r_init))
-        val_ref[0] = r_last
+        val_ref[0, 0] = r_last
 
         # ---- backward: reversed wavefront over the scratch diagonals ---
         def load_R(p):
-            r = r_scr[p, :].reshape(1, Np)
+            r = r_scr[p]                       # [BB, Np]
             return jnp.where(r >= INF / 2, -INF, r)  # invalid → -INF
 
         def load_D(p):
-            d = d_ref[0, p, :].reshape(1, Np)
+            d = d_ref[0, p]
             return jnp.where(d >= INF / 2, 0.0, d)
 
         def exp_term(succ_r, succ_d, r_p):
@@ -364,34 +384,42 @@ def softdtw_pallas_grad(D: jnp.ndarray, gamma: float = 1.0,
             e_new = jnp.where((p == P - 1) & (row == N - 1), 1.0, e_new)
             # zero everywhere the cell itself is invalid (off-grid / band)
             e_new = jnp.where(r_p <= -INF / 2, 0.0, e_new)
-            e_ref[0, p, :] = e_new[0]
+            e_ref[0, p] = e_new
             return (e_new, e1)
 
         e_init = r_init * 0.0
         jax.lax.fori_loop(0, P, bwd_body, (e_init, e_init))
 
+    mem = pl.ANY if interpret else pltpu.VMEM
+    # in + out-E blocks are double-buffered by the Pallas pipeline and the
+    # R scratch persists: ~5x P*BB*Np floats.  The 16 MB default scoped-vmem
+    # limit OOMs at 256x256xBB=8 (measured on v5e); raise it — v5e has
+    # 128 MB VMEM.
+    vmem_budget = min(128 * 1024 * 1024,
+                      max(32 * 1024 * 1024, 6 * P * BB * Np * 4))
+    params = (None if interpret
+              else pltpu.CompilerParams(vmem_limit_bytes=vmem_budget))
     val, e_skew = pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, P, Np), lambda b: (b, 0, 0),
-                               memory_space=pl.ANY if interpret else
-                               pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, 1, Np), lambda b: (b, 0, 0),
-                                memory_space=pl.ANY if interpret else
-                                pltpu.VMEM),
-                   pl.BlockSpec((1, P, Np), lambda b: (b, 0, 0),
-                                memory_space=pl.ANY if interpret else
-                                pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((B, 1, Np), D.dtype),
-                   jax.ShapeDtypeStruct((B, P, Np), D.dtype)],
-        scratch_shapes=[pltpu.VMEM((P, Np), D.dtype)],
+        compiler_params=params,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((1, P, BB, Np), lambda g: (g, 0, 0, 0),
+                               memory_space=mem)],
+        out_specs=[pl.BlockSpec((1, 1, BB, Np), lambda g: (g, 0, 0, 0),
+                                memory_space=mem),
+                   pl.BlockSpec((1, P, BB, Np), lambda g: (g, 0, 0, 0),
+                                memory_space=mem)],
+        out_shape=[jax.ShapeDtypeStruct((G, 1, BB, Np), D.dtype),
+                   jax.ShapeDtypeStruct((G, P, BB, Np), D.dtype)],
+        scratch_shapes=[pltpu.VMEM((P, BB, Np), D.dtype)],
         interpret=interpret,
     )(Ds)
-    # unskew: E[b, i, j] = e_skew[b, i+j, i]
+    # unblock + unskew: E[b, i, j] = e_skew[b, i+j, i]
+    e_skew = e_skew.transpose(0, 2, 1, 3).reshape(Bp, P, Np)[:B]
     i = np.arange(N)[:, None]
     j = np.arange(M)[None, :]
     E = e_skew[:, i + j, i]
-    return val[:, 0, N - 1], E
+    return val.transpose(0, 2, 1, 3).reshape(Bp, Np)[:B, N - 1], E
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -418,23 +446,20 @@ softdtw_pallas_diff.defvjp(_softdtw_pallas_fwd, _softdtw_pallas_bwd)
 
 def softdtw_pallas(D: jnp.ndarray, gamma: float = 1.0,
                    bandwidth: float = 0.0,
-                   interpret: bool = False) -> jnp.ndarray:
-    """Forward soft-DTW as a Pallas TPU kernel: grid over batch, skewed D in
-    VMEM, fori_loop over anti-diagonal columns with length-N vector ops —
-    the reference CUDA wavefront (soft_dtw_cuda.py:33-75) with
-    ``cuda.syncthreads`` replaced by the sequential column loop."""
+                   interpret: bool = False, *,
+                   block_b: int = 8) -> jnp.ndarray:
+    """Forward soft-DTW as a Pallas TPU kernel: grid over batch blocks,
+    skewed D in VMEM, fori_loop over anti-diagonal columns with [BB, Np]
+    vector tiles — the reference CUDA wavefront (soft_dtw_cuda.py:33-75)
+    with ``cuda.syncthreads`` replaced by the sequential column loop and
+    ``block_b`` batch rows per step filling the VPU sublanes."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, M = D.shape
-    band = jnp.asarray(_band_mask(N, M, bandwidth)[None], D.dtype)
-    Dm = jnp.where(band > 0, D, INF)
-    # [B, P, Np]: each anti-diagonal is a lane-contiguous ROW, padded to the
-    # 128-lane boundary (Mosaic requires tile-aligned vectors).
-    Ds = jnp.swapaxes(_skew(Dm), 1, 2)
-    P = N + M - 1
-    Np = max(128, -(-N // 128) * 128)
-    Ds = jnp.pad(Ds, ((0, 0), (0, 0), (0, Np - N)), constant_values=INF)
+    BB = block_b
+    Ds, P, Np, Bp = _skew_blocked(D, bandwidth, BB)
+    G = Bp // BB
 
     def kernel(d_ref, out_ref):
         row = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
@@ -444,7 +469,7 @@ def softdtw_pallas(D: jnp.ndarray, gamma: float = 1.0,
 
         def body(p, carry):
             r1, r2 = carry
-            d_p = d_ref[0, p, :].reshape(1, Np)
+            d_p = d_ref[0, p]                  # [BB, Np]
             down = shift(r1)
             dd = shift(r2)
             dd = jnp.where((p == 0) & (row == 0), 0.0, dd)
@@ -454,20 +479,24 @@ def softdtw_pallas(D: jnp.ndarray, gamma: float = 1.0,
 
         # derive the carry init from loaded data so Mosaic assigns it the
         # same (non-replicated) layout as the loop body's output
-        r_init = d_ref[0, 0, :].reshape(1, Np) * 0.0 + INF
+        r_init = d_ref[0, 0] * 0.0 + INF
         r_last, _ = jax.lax.fori_loop(0, P, body, (r_init, r_init))
-        out_ref[0] = r_last
+        out_ref[0, 0] = r_last
 
+    mem = pl.ANY if interpret else pltpu.VMEM
+    vmem_budget = min(128 * 1024 * 1024,
+                      max(32 * 1024 * 1024, 4 * P * BB * Np * 4))
+    params = (None if interpret
+              else pltpu.CompilerParams(vmem_limit_bytes=vmem_budget))
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, P, Np), lambda b: (b, 0, 0),
-                               memory_space=pl.ANY if interpret else
-                               pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, Np), lambda b: (b, 0, 0),
-                               memory_space=pl.ANY if interpret else
-                               pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1, Np), D.dtype),
+        compiler_params=params,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((1, P, BB, Np), lambda g: (g, 0, 0, 0),
+                               memory_space=mem)],
+        out_specs=pl.BlockSpec((1, 1, BB, Np), lambda g: (g, 0, 0, 0),
+                               memory_space=mem),
+        out_shape=jax.ShapeDtypeStruct((G, 1, BB, Np), D.dtype),
         interpret=interpret,
     )(Ds)
-    return out[:, 0, N - 1]
+    return out.transpose(0, 2, 1, 3).reshape(Bp, Np)[:B, N - 1]

@@ -297,3 +297,67 @@ def test_full_size_teacher_forced_parity(ref_modules):
                                ref_al.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out["alignments_bert"]),
                                ref_al_b.numpy(), atol=1e-4)
+
+
+def test_prenet_dropout_distributional_parity(torch_model, jax_params):
+    """The always-on prenet dropout path compared DISTRIBUTIONALLY against
+    the reference (reference model.py:23 hardcodes training=True).  The
+    deterministic parity tests patch F.dropout to identity, so they never
+    exercise this path; here both models run teacher-forced in eval mode —
+    where the prenet dropout is the ONLY active noise source on both sides
+    — K times with fresh RNG, and the per-element MEAN mels must agree
+    within Monte-Carlo error.  Fixed seeds: reproducible, not flaky."""
+    from tacotron2_subword_tpu.models import tacotron2 as M
+
+    K = 160
+    b = _batch()
+    T_text, T_sub = b["text"].shape[1], b["sub"].shape[1]
+    cls_phone = np.repeat(b["cls"][:, None, :], T_text, axis=1)
+    cls_sub = np.repeat(b["cls"][:, None, :], T_sub, axis=1)
+
+    inputs = (
+        torch.from_numpy(b["text"]).long(),
+        torch.from_numpy(b["text_lengths"]).long(),
+        torch.from_numpy(b["sub_lengths"]).long(),
+        torch.from_numpy(b["mels"]),
+        (int(b["text_lengths"].max()), b["mels"].shape[2]),
+        torch.from_numpy(b["output_lengths"]).long(),
+        torch.from_numpy(b["sub"]).long(),
+        torch.from_numpy(cls_phone),
+        torch.from_numpy(cls_sub),
+    )
+    torch.manual_seed(123)
+    ref_samples = []
+    with torch.no_grad():
+        for _ in range(K):
+            ref_samples.append(torch_model(inputs)[0].numpy())
+    ref_samples = np.stack(ref_samples)
+
+    cfg = jax_cfg().replace(prenet_dropout_always_on=True)
+    params, bn = jax_params
+    batch = {
+        "text": jnp.asarray(b["text"]),
+        "text_lengths": jnp.asarray(b["text_lengths"]),
+        "sub": jnp.asarray(b["sub"]),
+        "sub_lengths": jnp.asarray(b["sub_lengths"]),
+        "mels": jnp.asarray(b["mels"]),
+        "output_lengths": jnp.asarray(b["output_lengths"]),
+        "cls_phone": jnp.asarray(cls_phone), "cls_sub": jnp.asarray(cls_sub),
+    }
+    fwd = jax.jit(lambda r: M.forward(params, bn, cfg, batch,
+                                      training=False, rng=r)[0]["mel"])
+    keys = jax.random.split(jax.random.PRNGKey(7), K)
+    jax_samples = np.stack([np.asarray(fwd(k)) for k in keys])
+
+    # both sides estimate the same E[mel]; the MC standard error of the
+    # difference of two K-sample means is sqrt(2/K)*std
+    pooled_std = 0.5 * (ref_samples.std(0) + jax_samples.std(0))
+    sem = pooled_std * np.sqrt(2.0 / K)
+    diff = np.abs(ref_samples.mean(0) - jax_samples.mean(0))
+    assert np.all(diff <= 6.0 * sem + 5e-3), (
+        f"max normalized diff {np.max(diff / (sem + 1e-9)):.1f} sigma, "
+        f"max abs diff {diff.max():.4f}")
+    # and the noise MAGNITUDE itself must match: dropout scaling errors
+    # (e.g. missing 1/keep_prob) show up as a std mismatch, not a mean shift
+    s_ref, s_jax = ref_samples.std(0).mean(), jax_samples.std(0).mean()
+    assert abs(s_ref - s_jax) / max(s_ref, 1e-6) < 0.15, (s_ref, s_jax)

@@ -71,18 +71,21 @@ def main():
         v_scan, g_scan = scan_fb(D)
         v_pal = pal_f(D)
         v_pal2, E = pal_fb(D)
-        dv = float(jnp.abs(jnp.sum(v_pal) - v_scan))
-        dv2 = float(jnp.abs(jnp.sum(v_pal2) - v_scan))
+        # RELATIVE value tolerance: v_scan is a sum over B utterances
+        # (~1e4-1e5), so f32 summation-order noise alone is ~1e-3 absolute
+        vmag = max(float(jnp.abs(v_scan)), 1.0)
+        dv = float(jnp.abs(jnp.sum(v_pal) - v_scan)) / vmag
+        dv2 = float(jnp.abs(jnp.sum(v_pal2) - v_scan)) / vmag
         dg = float(jnp.abs(E - g_scan).max())
         t_scan = fetch_ms(scan_fb, D)
         t_f = fetch_ms(pal_f, D)
         t_fb = fetch_ms(pal_fb, D)
-        good = dv < 1e-3 and dv2 < 1e-3 and dg < 1e-5
+        good = dv < 1e-5 and dv2 < 1e-5 and dg < 1e-5
         ok &= good
         lines.append(
             f"softdtw B={B} {L_a}x{L_b}: scan fwd+bwd {t_scan:.2f} ms | "
             f"pallas fwd {t_f:.2f} ms | pallas FUSED fwd+bwd {t_fb:.2f} ms | "
-            f"|dval|={dv:.2e}/{dv2:.2e} |dgrad|max={dg:.2e} "
+            f"rel_dval={dv:.2e}/{dv2:.2e} |dgrad|max={dg:.2e} "
             f"{'OK' if good else 'MISMATCH'}")
 
     # --- int8 weight-only matmul kernel (stacked LSTM layout [S,B,K]) ---
