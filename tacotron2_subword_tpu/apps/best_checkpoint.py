@@ -1,17 +1,27 @@
 """Checkpoint-sweep evaluation CLI (the reference's best_checkpoint.py:
 436-597): for every checkpoint in a directory, synthesize a validation
-script, trim silence, compute MCD + soft-DTW against ground truth, and
-append a row to a resumable CSV ledger.
+script, vocode to AUDIO, trim silence, compute MCD + soft-DTW against
+ground-truth wavs, and append a row to a resumable CSV ledger.
 
     python -m tacotron2_subword_tpu.apps.best_checkpoint \
         --checkpoint-dir Outdir --script val.txt --gt-dir data/wav \
-        --out-csv logging.csv [--g2p-lexicon ...]
+        --out-csv logging.csv [--g2p-lexicon ...] [--gate-threshold 0.5]
 
 Ledger columns mirror the reference (best_checkpoint.py:551-556): per
 checkpoint the mean MCD, mean soft-DTW, silence statistics, and the count
 of failed utterances (gate overflow, the reference's INFER_FLAG abort,
 model.py:463-465).  Rows already present are skipped (resumable, reference
 best_checkpoint.py:444-456).
+
+TPU-shaped divergences from the reference's per-utterance loop:
+ - the text front-end runs ONCE for the whole script, padded into a single
+   batch, and ONE jitted decode (shared across all checkpoints, gate
+   threshold traced) synthesizes every utterance per checkpoint — B=1 calls
+   through the dispatch tunnel are ~6x slower and a fresh jit per
+   checkpoint would serialize 45-250 s compiles;
+ - ``--gate-threshold`` defaults to 0.5: the reference's 0.001
+   (hparams.py:80) is a hair trigger below a healthy gate's sigmoid noise
+   floor (~3e-3) and stops decode after a few frames.
 """
 
 from __future__ import annotations
@@ -54,13 +64,36 @@ def append_ledger(path: str, row: Dict) -> None:
         w.writerow(row)
 
 
+def _prepare_batch(lines, t2s, cfg, pad_to: int = 32):
+    """Front-end once for the whole script → one padded batch."""
+    import unicodedata
+    from tacotron2_subword_tpu.text.bert import hashed_subword_ids
+
+    seqs, subs = [], []
+    for _utt_id, text in lines:
+        text = unicodedata.normalize("NFKC", text).lower()
+        seqs.append(np.asarray(t2s.grapheme_to_sequence(text), np.int32))
+        subs.append(hashed_subword_ids(text, cfg.sub_n_symbols))
+    T_text = -(-max(len(s) for s in seqs) // pad_to) * pad_to
+    T_sub = -(-max(len(s) for s in subs) // pad_to) * pad_to
+    batch = dict(
+        text=jnp.asarray(np.stack(
+            [np.pad(s, (0, T_text - len(s))) for s in seqs])),
+        sub=jnp.asarray(np.stack(
+            [np.pad(s, (0, T_sub - len(s))) for s in subs])),
+        cls=jnp.zeros((len(seqs), cfg.bert_embedding_dim), jnp.float32),
+        t_lens=jnp.asarray([len(s) for s in seqs]),
+        s_lens=jnp.asarray([len(s) for s in subs]))
+    return batch
+
+
 def sweep(args) -> List[Dict]:
     from tacotron2_subword_tpu.config import create_config
     from tacotron2_subword_tpu.models import tacotron2 as M
     from tacotron2_subword_tpu.apps.inference import (load_acoustic_model,
                                                       load_vocoder)
     from tacotron2_subword_tpu.eval import (mcd_between_wavs, trim_silence)
-    from tacotron2_subword_tpu.ops import softdtw as SD
+    from tacotron2_subword_tpu.eval import metrics as EM
     from tacotron2_subword_tpu.ops import stft as S
     from tacotron2_subword_tpu.text import Text2Seq
 
@@ -71,6 +104,19 @@ def sweep(args) -> List[Dict]:
                                         args.hifigan_config)
     with open(args.script, encoding="utf-8") as f:
         lines = [l.strip().split("|", 1) for l in f if l.strip()]
+    lines = lines[:args.max_utts]
+    batch = _prepare_batch(lines, t2s, cfg)
+
+    # ONE jitted decode shared across every checkpoint; the gate threshold
+    # is traced so sweeping it never recompiles
+    @jax.jit
+    def infer_fn(params, bn, thresh):
+        return M.infer(params, bn, cfg, batch["text"], batch["sub"],
+                       batch["cls"], batch["cls"],
+                       rng=jax.random.PRNGKey(0),
+                       gate_threshold=thresh,
+                       text_lengths=batch["t_lens"],
+                       sub_lengths=batch["s_lens"])
 
     ledger = read_ledger(args.out_csv)
     results = []
@@ -80,27 +126,19 @@ def sweep(args) -> List[Dict]:
             print(f"{name}: already in ledger, skipping")
             continue
         params, bn_state = load_acoustic_model(ckpt, cfg)
-        infer_fn = jax.jit(lambda p, b, t, s_, cp, cs, k: M.infer(
-            p, b, cfg, t, s_, cp, cs, rng=k))
+        out = infer_fn(params, bn_state, jnp.float32(args.gate_threshold))
+        mel_b = np.asarray(out["mel_postnet"], np.float32)
+        lens_b = np.asarray(out["mel_lengths"])
+        ok_b = np.asarray(out["infer_ok"])
 
         mcds, sdtws, silences, failed = [], [], [], 0
-        for utt_id, text in lines[:args.max_utts]:
-            import unicodedata
-            seq = t2s.grapheme_to_sequence(
-                unicodedata.normalize("NFKC", text).lower())
-            sub = np.asarray([hash(w) % cfg.sub_n_symbols
-                              for w in text.split()], np.int32)
-            cls = np.zeros(cfg.bert_embedding_dim, np.float32)
-            out = infer_fn(params, bn_state,
-                           jnp.asarray(np.asarray(seq)[None]),
-                           jnp.asarray(sub[None]), jnp.asarray(cls[None]),
-                           jnp.asarray(cls[None]), jax.random.PRNGKey(0))
-            if not bool(out["infer_ok"][0]):
+        for i, (utt_id, _text) in enumerate(lines):
+            if not bool(ok_b[i]):
                 failed += 1
                 continue
-            n = int(out["mel_lengths"][0])
+            n = int(lens_b[i])
             # min 8 frames: 1-frame mels break the iSTFT edge trim
-            mel = out["mel_postnet"][:, :, :max(n, 8)]
+            mel = jnp.asarray(mel_b[i:i + 1, :, :max(n, 8)])
             wav = np.asarray(vocode(mel))[0]
 
             trimmed, start, _ = trim_silence(wav, fs=cfg.sampling_rate)
@@ -114,12 +152,17 @@ def sweep(args) -> List[Dict]:
                 mcd = mcd_between_wavs(trimmed, gt, fs=cfg.sampling_rate)
                 if mcd is not None:
                     mcds.append(mcd)
-                gt_mel = S.mel_spectrogram(
-                    jnp.asarray(np.clip(gt, -1, 1)[None]))
-                d = SD.softdtw_distance(
-                    jnp.swapaxes(mel, 1, 2).astype(jnp.float32),
-                    jnp.swapaxes(gt_mel, 1, 2))
-                sdtws.append(float(d[0]))
+                # audio-domain soft-DTW: mels recomputed from BOTH wavs
+                # (reference best_checkpoint.py:422-433 via Audio.tools
+                # get_mel on the synthesized + ground-truth audio)
+                syn_mel = np.asarray(S.mel_spectrogram(
+                    jnp.asarray(np.clip(trimmed, -1, 1)[None])))[0]
+                gt_mel = np.asarray(S.mel_spectrogram(
+                    jnp.asarray(np.clip(gt, -1, 1)[None])))[0]
+                D = ((syn_mel.T[:, None, :]
+                      - gt_mel.T[None, :, :]) ** 2).sum(-1)
+                sdtws.append(EM.softdtw_np(D, gamma=1.0)
+                             / (D.shape[0] + D.shape[1]))
 
         row = {
             "checkpoint": name,
@@ -128,7 +171,7 @@ def sweep(args) -> List[Dict]:
             "silence_mean_s": round(float(np.mean(silences)), 4)
                                if silences else "",
             "failed": failed,
-            "n_utts": len(lines[:args.max_utts]),
+            "n_utts": len(lines),
         }
         append_ledger(args.out_csv, row)
         results.append(row)
@@ -149,14 +192,21 @@ def build_argparser():
     p.add_argument("--hifigan-config", default=None)
     p.add_argument("--max-decoder-steps", type=int, default=2000)
     p.add_argument("--max-utts", type=int, default=100)
+    p.add_argument("--gate-threshold", type=float, default=0.5)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (metric sweeps are "
+                        "latency-bound through the TPU dispatch tunnel)")
     p.add_argument("--hparams", default=None)
     return p
 
 
 def main():
+    args = build_argparser().parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     from tacotron2_subword_tpu.utils.platform import enable_compilation_cache
     enable_compilation_cache()
-    sweep(build_argparser().parse_args())
+    sweep(args)
 
 
 if __name__ == "__main__":

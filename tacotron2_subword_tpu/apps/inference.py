@@ -165,10 +165,11 @@ def run_inference(args) -> int:
         if tokenizer is not None:
             sub_ids = tokenizer.encode(text) % cfg.sub_n_symbols
         else:
-            # deterministic hash fallback when no tokenizer asset is present
-            sub_ids = np.asarray(
-                [hash(w) % cfg.sub_n_symbols for w in text.split()],
-                np.int32)
+            # deterministic (crc32, not process-salted hash()) fallback when
+            # no tokenizer asset is present — must match the IDs any
+            # tokenizer-less training corpus was built with
+            from tacotron2_subword_tpu.text.bert import hashed_subword_ids
+            sub_ids = hashed_subword_ids(text, cfg.sub_n_symbols)
         if embedder is not None:
             cls = embedder.embed_cls(text)
         else:

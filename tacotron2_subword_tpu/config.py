@@ -75,6 +75,28 @@ class TacotronConfig:
     batch_size: int = 8  # per device
     mask_padding: bool = True
 
+    # -- auxiliary spectrogram losses --------------------------------------
+    # Soft-DTW between mel_postnet and the target mel as a training loss.
+    # The reference ships soft-DTW as an autograd.Function module built for
+    # loss use (soft_dtw_cuda.py:273-352) and BASELINE config 3 names it in
+    # the train-step workload; weight 0 disables the term (reference default:
+    # not wired into Tacotron2Loss).  The raw soft-DTW value scales like
+    # path_length * n_mels * per-bin-MSE, so the term is normalized by
+    # (N + M) * n_mel_channels to land on the mel-MSE scale; weight 1.0 then
+    # weighs it comparably to the MSE terms.
+    softdtw_loss_weight: float = 0.0
+    softdtw_gamma: float = 1.0          # reference SoftDTW gamma default
+    softdtw_bandwidth: float = 0.0      # Sakoe-Chiba band; 0 = no pruning
+    # "auto": fused Pallas kernel on TPU when the shape fits VMEM, else the
+    # diagonal-scan custom-VJP; "scan"/"pallas" force an implementation.
+    softdtw_impl: str = "auto"
+    # SSIM on the mel image as a loss term: the reference wires
+    # `-self.ssim(mel_out, mel_target)` into Tacotron2Loss but ships it
+    # commented out (loss_function.py:10,24); weight 0 keeps that default,
+    # weight w adds `w * (1 - SSIM)` (same gradient as the reference's
+    # -ssim, shifted to be non-negative).
+    ssim_loss_weight: float = 0.0
+
     # -- TPU-specific (no reference counterpart) --------------------------
     # Compute dtype for matmuls/activations; params and optimizer state stay
     # float32.  "parity" mode (float32 + highest matmul precision) is used by

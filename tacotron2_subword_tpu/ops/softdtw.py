@@ -277,6 +277,33 @@ def profile(batch_size: int = 128, seq_len_a: int = 17, seq_len_b: int = 15,
     return float(jnp.sum(v))
 
 
+VMEM_BYTES = 128 * 1024 * 1024  # physical v5e VMEM
+
+
+def _padded_dims(N: int, M: int) -> Tuple[int, int]:
+    """(P, Np): diagonal count and lane-padded row length (see _skew_blocked)."""
+    return N + M - 1, max(128, -(-N // 128) * 128)
+
+
+def _fit_block_b(N: int, M: int, block_b: int, n_bufs: int) -> int:
+    """Largest batch block <= ``block_b`` whose VMEM working set
+    (~n_bufs * P * BB * Np f32: double-buffered in/out blocks + the
+    persistent R scratch) fits physical VMEM; 0 when even BB=1 does not —
+    callers must then fall back to the scan implementation instead of
+    letting Mosaic fail at compile time on an over-budget allocation."""
+    P, Np = _padded_dims(N, M)
+    bb = block_b
+    while bb >= 1 and n_bufs * P * bb * Np * 4 > VMEM_BYTES:
+        bb //= 2
+    return bb
+
+
+def pallas_fits(N: int, M: int, *, fused: bool = True) -> bool:
+    """True when the (fused) Pallas kernel can run [.., N, M] distance
+    matrices within VMEM at some batch block size."""
+    return _fit_block_b(N, M, 8, 6 if fused else 4) >= 1
+
+
 def _skew_blocked(D: jnp.ndarray, bandwidth: float, block_b: int):
     """Host-side prep shared by the Pallas kernels: band-mask, skew so every
     anti-diagonal is a lane-contiguous row, pad lanes to the 128 boundary,
@@ -320,7 +347,12 @@ def softdtw_pallas_grad(D: jnp.ndarray, gamma: float = 1.0,
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, M = D.shape
-    BB = block_b
+    BB = _fit_block_b(N, M, block_b, n_bufs=6)
+    if BB < 1:
+        raise ValueError(
+            f"soft-DTW fused Pallas kernel does not fit VMEM at N={N}, "
+            f"M={M} even at block_b=1; use the scan implementation "
+            f"(softdtw) for this shape")
     Ds, P, Np, Bp = _skew_blocked(D, bandwidth, BB)
     G = Bp // BB
 
@@ -457,7 +489,11 @@ def softdtw_pallas(D: jnp.ndarray, gamma: float = 1.0,
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, M = D.shape
-    BB = block_b
+    BB = _fit_block_b(N, M, block_b, n_bufs=4)
+    if BB < 1:
+        raise ValueError(
+            f"soft-DTW Pallas kernel does not fit VMEM at N={N}, M={M} "
+            f"even at block_b=1; use the scan implementation (softdtw)")
     Ds, P, Np, Bp = _skew_blocked(D, bandwidth, BB)
     G = Bp // BB
 

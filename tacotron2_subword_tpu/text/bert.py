@@ -70,3 +70,19 @@ class ClsEmbedder:
 def repeat_cls(cls_vec: np.ndarray, length: int) -> np.ndarray:
     """CLS vector repeated per position (reference data_utils.py:77-78)."""
     return np.repeat(cls_vec[None, :], length, axis=0)
+
+
+def hashed_subword_ids(text: str, vocab_size: int) -> np.ndarray:
+    """Deterministic per-word subword-ID fallback for when no tokenizer
+    asset is present (the reference always has data/vibert_*.json; this repo
+    must degrade gracefully).  Uses crc32 — NOT Python ``hash``, which is
+    salted per process (PYTHONHASHSEED) and would make training-time and
+    inference-time IDs disagree across runs.  IDs land in [3, vocab_size)
+    leaving 0..2 for pad/BOS/EOS conventions."""
+    import zlib
+    words = text.split()
+    if not words:
+        words = [""]
+    return np.asarray(
+        [zlib.crc32(w.encode("utf-8")) % max(vocab_size - 3, 1) + 3
+         for w in words], np.int32)

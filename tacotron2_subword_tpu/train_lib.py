@@ -25,6 +25,7 @@ import optax
 
 from tacotron2_subword_tpu.config import TacotronConfig
 from tacotron2_subword_tpu.models import tacotron2 as M
+from tacotron2_subword_tpu.ops import softdtw as SD
 
 
 def bce_with_logits(logits, targets):
@@ -49,6 +50,60 @@ def _masked_kl(align_out, align_target, text_lengths, mel_lengths):
     kl_per_sample = ((kl_per_frame * frame_valid).sum(axis=1)
                      / jnp.maximum(frame_valid.sum(axis=1), 1.0))
     return kl_per_sample.sum()
+
+
+def softdtw_mel_loss(mel_out: jnp.ndarray, mel_target: jnp.ndarray,
+                     cfg: TacotronConfig,
+                     w: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Soft-DTW between predicted and target mels as a differentiable loss
+    term (the reference's SoftDTW module API, soft_dtw_cuda.py:273-352, used
+    on mels by its eval scripts; here wired into training per BASELINE
+    config 3).
+
+    mel_out/mel_target: [B, n_mels, T].  The raw soft-DTW value grows like
+    alignment-path-length x n_mels x per-bin squared error, so it is
+    normalized by (N + M) * n_mels to sit on the mel-MSE scale.  Returns the
+    (weight-)mean over the batch.
+
+    Implementation choice (cfg.softdtw_impl): "auto" runs the fused fwd+bwd
+    Pallas kernel (ops/softdtw.softdtw_pallas_diff) on TPU when the [T, T]
+    matrix fits VMEM, else the diagonal-scan custom-VJP — both give
+    identical values/grads (tests/test_softdtw.py).
+    """
+    x = jnp.swapaxes(mel_out, 1, 2).astype(jnp.float32)     # [B, T, n_mels]
+    y = jnp.swapaxes(mel_target, 1, 2).astype(jnp.float32)
+    N, M = x.shape[1], y.shape[1]
+    D = SD.euclidean_dist_matrix(x, y)
+    impl = cfg.softdtw_impl
+    if impl == "auto":
+        impl = ("pallas" if jax.default_backend() == "tpu"
+                and SD.pallas_fits(N, M, fused=True) else "scan")
+    if impl == "pallas":
+        vals = SD.softdtw_pallas_diff(D, cfg.softdtw_gamma,
+                                      cfg.softdtw_bandwidth)
+    elif impl == "scan":
+        vals = SD.softdtw(D, cfg.softdtw_gamma, cfg.softdtw_bandwidth)
+    else:
+        raise ValueError(f"unknown softdtw_impl {cfg.softdtw_impl!r}")
+    per = vals / float((N + M) * mel_out.shape[1])
+    if w is None:
+        return per.mean()
+    return (per * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+def ssim_mel_loss(mel_out: jnp.ndarray, mel_target: jnp.ndarray,
+                  w: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """1 - SSIM(mel_out, mel_target) on the mel images — the reference's
+    commented `-self.ssim(mel_out.unsqueeze(1), mel_target.unsqueeze(1))`
+    (loss_function.py:10,24) shifted by +1 so the term is non-negative
+    (same gradient)."""
+    from tacotron2_subword_tpu.ops.ssim import ssim
+    s = ssim(mel_out[:, None].astype(jnp.float32),
+             mel_target[:, None].astype(jnp.float32),
+             size_average=w is None)
+    if w is None:
+        return 1.0 - s
+    return ((1.0 - s) * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
 def tacotron2_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, Any],
@@ -85,6 +140,15 @@ def tacotron2_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, Any],
     losses = {"mel": mel_loss, "gate": gate_loss,
               "align": jnp.float32(0.0), "align_bert": jnp.float32(0.0)}
     total = mel_loss + gate_loss
+
+    if cfg.softdtw_loss_weight > 0.0:
+        sdtw = softdtw_mel_loss(outputs["mel_postnet"], mel_target, cfg, w)
+        losses["softdtw"] = sdtw
+        total = total + cfg.softdtw_loss_weight * sdtw
+    if cfg.ssim_loss_weight > 0.0:
+        sl = ssim_mel_loss(outputs["mel_postnet"], mel_target, w)
+        losses["ssim"] = sl
+        total = total + cfg.ssim_loss_weight * sl
 
     if cfg.align_loss and "align_target" in batch:
         if cfg.n_frames_per_step != 1:

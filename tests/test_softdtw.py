@@ -169,3 +169,26 @@ def test_pallas_fused_grad_matches_scan(shape, bw):
         lambda d: jnp.sum(SD.softdtw_pallas_diff(d, 1.0, bw, True)))(D)
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v_scan), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g_scan), atol=1e-5)
+
+
+def test_fit_block_b_vmem_guard():
+    """ADVICE r2: the fused kernel's VMEM working set (~6*P*BB*Np*4) must
+    shrink block_b instead of letting Mosaic OOM at compile time."""
+    # tiny shape: full block_b fits
+    assert SD._fit_block_b(64, 64, 8, n_bufs=6) == 8
+    # N=M=1024: P=2047, Np=1024 → BB=8 needs ~402 MB, BB=2 fits in 128 MB
+    assert SD._fit_block_b(1024, 1024, 8, n_bufs=6) == 2
+    # pathological: even BB=1 cannot fit → callers must use the scan
+    assert SD._fit_block_b(4096, 4096, 8, n_bufs=6) == 0
+    assert SD.pallas_fits(64, 64, fused=True)
+    assert not SD.pallas_fits(4096, 4096, fused=True)
+
+
+def test_pallas_autoshrink_matches_scan_interpret():
+    """block_b auto-shrink must not change results (interpret mode)."""
+    rng = np.random.RandomState(3)
+    D = jnp.asarray(rng.rand(3, 9, 7).astype(np.float32))
+    ref = np.asarray(SD.softdtw(D, 1.0, 0.0))
+    # force a shrink by passing an oversized block_b
+    out = np.asarray(SD.softdtw_pallas(D, 1.0, 0.0, True, block_b=8))
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
