@@ -81,8 +81,8 @@ def cmd_subwords(args):
         if tokenizer is not None:
             ids = tokenizer.encode(text)
         else:
-            ids = np.asarray([hash(w) % args.vocab for w in text.split()],
-                             np.int32)
+            from tacotron2_subword_tpu.text.bert import hashed_subword_ids
+            ids = hashed_subword_ids(text, args.vocab)
         np.save(os.path.join(args.sub_dir, f"{i}.npy"), ids)
         cls = (embedder.embed_cls(text) if embedder is not None
                else np.zeros(768, np.float32))

@@ -123,6 +123,22 @@ def aot_warmup(step_fn, state, cfg, plan, global_batch, key_example):
     return out
 
 
+def select_step_fn(executables, bucket, step_fn, warned: set):
+    """Route a batch to its AOT-compiled executable; fall back to the jit
+    path with a LOUD one-time warning when the bucket missed the compile
+    plan (a silent fallback costs a surprise 45-250 s mid-training compile
+    on TPU)."""
+    fn = executables.get(bucket)
+    if fn is not None:
+        return fn
+    if executables and bucket not in warned:
+        warned.add(bucket)
+        print(f"WARNING: batch bucket {bucket} is not in the AOT compile "
+              f"plan (have: {sorted(executables)}) — falling back to a "
+              f"mid-training jit compile (45-250 s on TPU)", flush=True)
+    return step_fn
+
+
 def validate(state, loader, cfg, mesh, eval_fn, rng) -> float:
     losses, n = 0.0, 0
     last = None
@@ -222,7 +238,7 @@ def train(args) -> None:
                          for (t, s, m), c in sorted(plan.items()))
     print(f"compile plan: {len(plan)} train-step shape variants: {plan_str}",
           flush=True)
-    executables = {}
+    executables, missed_buckets = {}, set()
     if args.aot_warmup:
         rng, wkey = jax.random.split(rng)
         executables = aot_warmup(step_fn, state, cfg, plan, global_batch,
@@ -237,7 +253,8 @@ def train(args) -> None:
             profiler.step(iteration)
             bucket = (batch["text"].shape[1], batch["sub"].shape[1],
                       batch["mels"].shape[2])
-            state, metrics = executables.get(bucket, step_fn)(
+            state, metrics = select_step_fn(
+                executables, bucket, step_fn, missed_buckets)(
                 state, db, step_key)
             total = float(metrics["total"])  # host sync
             dt = time.perf_counter() - t0
