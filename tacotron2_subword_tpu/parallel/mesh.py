@@ -31,13 +31,27 @@ from tacotron2_subword_tpu import train_lib as T
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
-              devices=None) -> Mesh:
+              devices=None, model_across_processes: bool = False) -> Mesh:
     """Mesh with ('data', 'model') axes.  Defaults to all devices on the
-    data axis."""
+    data axis.
+
+    With the default device order the model axis is the INNER (fastest-
+    varying) dimension, so under multi-process meshes TP collectives stay
+    within a host's local devices (ICI on TPU) and only the data-axis grad
+    psum crosses hosts — the layout you want in production.
+    ``model_across_processes=True`` transposes the assignment so the model
+    axis spans process boundaries instead, which exercises cross-host TP
+    collectives (all-gather/reduce-scatter over DCN); used by
+    tests/test_multihost.py to prove the TP path survives a process
+    boundary."""
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
         n_data = len(devices) // n_model
-    dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    dev = np.asarray(devices[: n_data * n_model])
+    if model_across_processes:
+        dev = dev.reshape(n_model, n_data).T
+    else:
+        dev = dev.reshape(n_data, n_model)
     return Mesh(dev, ("data", "model"))
 
 
