@@ -13,10 +13,11 @@ Workloads (PINNED — changing any constant changes the headline number):
     as a first-class metric (reference train.py:343-345, logger.py:48).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
-``vs_baseline`` is the speedup over the same inference workload on host CPU
-(scaled-down CPU run; BASELINE.json north star is >=5x).  ``extra`` carries
-the secondary numbers (us/step, train ms/step + frames/s at both batch
-sizes).
+``vs_baseline`` is the speedup over the IDENTICAL inference workload
+(B=128, steps=200, one repeat) on the host CPU — a same-workload ratio
+(BASELINE.json north star is >=5x).  ``extra`` carries the secondary
+numbers (us/step, train ms/step + frames/s at both batch sizes, the
+soft-DTW-loss train variant, vocoder synthesis rates).
 """
 
 import json
@@ -87,16 +88,17 @@ def run_infer(backend: str, batch: int, steps: int, repeats: int = 6):
 
 
 def run_train(batch: int, t_out: int = TRAIN_T_OUT,
-              repeats: int = TRAIN_REPEATS):
+              repeats: int = TRAIN_REPEATS, **cfg_overrides):
     """bf16 train-step throughput: ms/step (wall, amortized) and mel
     frames/s/chip.  The steps are chained through the carried state, so the
-    final fetched loss forces the whole chain."""
+    final fetched loss forces the whole chain.  ``cfg_overrides`` lets the
+    soft-DTW-loss variant reuse the pinned workload."""
     import jax
     import jax.numpy as jnp
     from tacotron2_subword_tpu.config import TacotronConfig
     from tacotron2_subword_tpu import train_lib as T
 
-    cfg = TacotronConfig()
+    cfg = TacotronConfig(**cfg_overrides)
     state, tx = T.create_train_state(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
     B, T_text, T_sub = batch, 64, 32
@@ -133,32 +135,45 @@ def run_vocoders(batch: int = 4, frames: int = 256, repeats: int = 6):
     """HiFi-GAN and WaveGlow synthesis rates in kHz of audio samples
     generated per second — comparable to the only hardware number in the
     reference chain, WaveGlow's ~1200 kHz on a V100
-    (reference waveglow/README.md:17-18)."""
+    (reference waveglow/README.md:17-18).  Returns f32 AND bf16 rates
+    (bf16 params/activations, f32 conv accumulation — the production
+    serving dtype)."""
     import jax
     import jax.numpy as jnp
     from tacotron2_subword_tpu.models import hifigan as HG
     from tacotron2_subword_tpu.models import waveglow as WG
+    from tacotron2_subword_tpu.nn.layers import cast_floating
 
     rng = np.random.RandomState(0)
     mel = jnp.asarray(rng.randn(batch, 80, frames).astype(np.float32))
+    khz = lambda dt: batch * frames * 256 / dt / 1e3
 
     h = HG.HifiganConfig()
     gen = HG.fuse_generator(HG.init_generator(jax.random.PRNGKey(0), h))
     hifi = jax.jit(lambda p, m: jnp.float32(
         HG.generator_apply(p, h, m).mean()))
-    np.asarray(hifi(gen, mel))  # compile
-    dt = _fetch_time([(lambda i=i: hifi(gen, mel)) for i in range(repeats)])
-    hifi_khz = batch * frames * 256 / dt / 1e3
+    rates = {}
+    for name, (g, m) in {
+            "f32": (gen, mel),
+            "bf16": (cast_floating(gen, jnp.bfloat16),
+                     mel.astype(jnp.bfloat16))}.items():
+        np.asarray(hifi(g, m))  # compile
+        rates[f"hifi_{name}"] = khz(_fetch_time(
+            [(lambda i=i: hifi(g, m)) for i in range(repeats)]))
 
     wcfg = WG.WaveGlowConfig()
     wg = WG.init_waveglow(jax.random.PRNGKey(1), wcfg)
     wg_infer = jax.jit(lambda p, m, k: jnp.float32(
         WG.infer(p, wcfg, m, sigma=0.6, key=k).mean()))
-    np.asarray(wg_infer(wg, mel, jax.random.PRNGKey(2)))  # compile
-    dt = _fetch_time([(lambda i=i: wg_infer(wg, mel, jax.random.PRNGKey(3 + i)))
-                      for i in range(repeats)])
-    wg_khz = batch * frames * 256 / dt / 1e3
-    return hifi_khz, wg_khz
+    for name, (g, m) in {
+            "f32": (wg, mel),
+            "bf16": (cast_floating(wg, jnp.bfloat16),
+                     mel.astype(jnp.bfloat16))}.items():
+        np.asarray(wg_infer(g, m, jax.random.PRNGKey(2)))  # compile
+        rates[f"wg_{name}"] = khz(_fetch_time(
+            [(lambda i=i: wg_infer(g, m, jax.random.PRNGKey(3 + i)))
+             for i in range(repeats)]))
+    return rates
 
 
 def main():
@@ -178,7 +193,11 @@ def main():
                                       INFER_REPEATS)
     train8_ms, train8_fps = run_train(8)
     train64_ms, train64_fps = run_train(64)
-    hifi_khz, wg_khz = run_vocoders()
+    # the same train step with the soft-DTW mel loss on (fused Pallas
+    # fwd+bwd kernel; BASELINE config 3 names soft-DTW in the train-step
+    # workload) — the delta vs train8_ms is the cost of the loss term
+    sdtw8_ms, sdtw8_fps = run_train(8, softdtw_loss_weight=1.0)
+    voc = run_vocoders()
     vs = tpu_rate / cpu_rate if np.isfinite(cpu_rate) else float("nan")
     print(json.dumps({
         "metric": ("mel audio-seconds synthesized/sec/chip "
@@ -193,11 +212,14 @@ def main():
             "train_frames_per_s_B8": round(train8_fps, 1),
             "train_ms_per_step_B64": round(train64_ms, 2),
             "train_frames_per_s_B64": round(train64_fps, 1),
+            "train_ms_per_step_B8_softdtw": round(sdtw8_ms, 2),
             "train_workload": f"bf16 fwd+bwd+Adam, T_out={TRAIN_T_OUT}, "
                               f"x{TRAIN_REPEATS} chained steps",
-            "hifigan_synthesis_khz": round(hifi_khz, 1),
-            "waveglow_synthesis_khz": round(wg_khz, 1),
-            "waveglow_vs_v100_1200khz": round(wg_khz / 1200.0, 2),
+            "hifigan_synthesis_khz": round(voc["hifi_f32"], 1),
+            "hifigan_synthesis_khz_bf16": round(voc["hifi_bf16"], 1),
+            "waveglow_synthesis_khz": round(voc["wg_f32"], 1),
+            "waveglow_synthesis_khz_bf16": round(voc["wg_bf16"], 1),
+            "waveglow_vs_v100_1200khz": round(voc["wg_bf16"] / 1200.0, 2),
         },
     }))
 
@@ -205,7 +227,11 @@ def main():
 if __name__ == "__main__":
     import sys
     if "--cpu-probe" in sys.argv:
-        # smaller CPU workload, normalized per audio-second
-        print(run_infer("cpu", batch=2, steps=50, repeats=1)[0])
+        # SAME pinned workload as the TPU run (B=128, steps=200), one
+        # repeat — vs_baseline is then an honest same-workload speedup
+        # (a scaled-down B=2 probe overstated the ratio by ignoring CPU
+        # batch efficiency)
+        print(run_infer("cpu", batch=INFER_BATCH, steps=INFER_STEPS,
+                        repeats=1)[0])
     else:
         main()

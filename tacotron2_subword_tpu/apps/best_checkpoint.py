@@ -91,7 +91,8 @@ def sweep(args) -> List[Dict]:
     from tacotron2_subword_tpu.config import create_config
     from tacotron2_subword_tpu.models import tacotron2 as M
     from tacotron2_subword_tpu.apps.inference import (load_acoustic_model,
-                                                      load_vocoder)
+                                                      load_vocoder,
+                                                      vocode_bucketed)
     from tacotron2_subword_tpu.eval import (mcd_between_wavs, trim_silence)
     from tacotron2_subword_tpu.eval import metrics as EM
     from tacotron2_subword_tpu.ops import stft as S
@@ -137,9 +138,8 @@ def sweep(args) -> List[Dict]:
                 failed += 1
                 continue
             n = int(lens_b[i])
-            # min 8 frames: 1-frame mels break the iSTFT edge trim
-            mel = jnp.asarray(mel_b[i:i + 1, :, :max(n, 8)])
-            wav = np.asarray(vocode(mel))[0]
+            # bucketed vocode: one jit compile per mel-length bucket
+            wav = vocode_bucketed(vocode, jnp.asarray(mel_b[i:i + 1]), n)[0]
 
             trimmed, start, _ = trim_silence(wav, fs=cfg.sampling_rate)
             silences.append(start / cfg.sampling_rate)

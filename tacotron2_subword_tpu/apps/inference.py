@@ -60,9 +60,20 @@ def latest_checkpoint_path(dir_path: str,
 
 def load_acoustic_model(checkpoint: str, cfg: TacotronConfig):
     """Returns (params, bn_state).  Accepts Orbax dirs and reference torch
-    checkpoint files."""
+    checkpoint files.
+
+    The restore template is built on the HOST CPU backend: a full-size
+    eager init through the serialized axon TPU tunnel costs minutes of
+    ~30 ms dispatches, and the template values are immediately overwritten
+    by the checkpoint anyway."""
     if os.path.isdir(checkpoint):
-        state, tx = T.create_train_state(jax.random.PRNGKey(0), cfg)
+        import contextlib
+        try:
+            ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+        except RuntimeError:  # cpu backend disabled by platform config
+            ctx = contextlib.nullcontext()
+        with ctx:
+            state, tx = T.create_train_state(jax.random.PRNGKey(0), cfg)
         state, _ = CK.load_checkpoint(checkpoint, state)
         return state.params, state.bn_state
     from tacotron2_subword_tpu.utils.import_torch import \
@@ -103,7 +114,29 @@ def load_vocoder(hifigan_checkpoint: Optional[str],
         spec = jnp.maximum(spec, 1e-8) * 1000.0
         return S.griffin_lim(spec, 1024, 256, 1024, n_iters=30,
                              key=jax.random.PRNGKey(0)) / 1000.0
-    return vocode_gl, "griffin_lim"
+    # jitted: EAGER Griffin-Lim through the axon tunnel compiles each of
+    # its ~hundreds of ops per new shape on the serialized endpoint
+    # (minutes per utterance); jitted it is one compile per mel bucket
+    return jax.jit(vocode_gl), "griffin_lim"
+
+
+MEL_FLOOR = float(np.log(1e-5))  # dynamic-range-compression silence floor
+
+
+def vocode_bucketed(vocode, mel, n_frames: int, hop: int = 256,
+                    bucket: int = 64) -> np.ndarray:
+    """Pad the mel to a frame bucket (silence-floor fill) before vocoding
+    so the jitted vocoder compiles once per bucket, then cut the waveform
+    back to the true length.  (min 8 frames: a 1-frame mel — the
+    reference's gate-fires-on-first-frame quirk, model.py:461-467 — would
+    make the iSTFT output empty after edge trimming.)"""
+    n = max(n_frames, 8)
+    m = mel[:, :, :n]
+    pad_f = -(-n // bucket) * bucket
+    m = jnp.pad(m, ((0, 0), (0, 0), (0, pad_f - n)),
+                constant_values=MEL_FLOOR)
+    wav = np.asarray(vocode(m))
+    return wav[:, :n * hop]
 
 
 def write_wav(path: str, wav: np.ndarray, sr: int = 22050) -> None:
@@ -148,9 +181,9 @@ def run_inference(args) -> int:
             lambda m: vocode(m)[:, None, :], n_mel_channels=cfg.n_mel_channels)
 
     infer_fn = jax.jit(
-        lambda p, b, text, sub_ids, cp, cs, key: M.infer(
-            p, b, cfg, text, sub_ids, cp, cs, rng=key),
-        static_argnums=())
+        lambda p, b, text, sub_ids, cp, cs, t_len, s_len, key: M.infer(
+            p, b, cfg, text, sub_ids, cp, cs, rng=key,
+            text_lengths=t_len, sub_lengths=s_len))
 
     n_done = 0
     with open(args.script, encoding="utf-8") as f:
@@ -175,17 +208,22 @@ def run_inference(args) -> int:
         else:
             cls = np.zeros(cfg.bert_embedding_dim, np.float32)
 
+        # pad to bucket edges (multiples of 16/8) and pass true lengths:
+        # one XLA compile per BUCKET, not per utterance length (a full-size
+        # infer compile costs 45-250 s through the axon tunnel)
+        seq = np.asarray(seq, np.int32)
+        t_pad = -(-len(seq) // 16) * 16
+        s_pad = -(-len(sub_ids) // 8) * 8
         out = infer_fn(params, bn_state,
-                       jnp.asarray(np.asarray(seq)[None]),
-                       jnp.asarray(sub_ids[None]),
+                       jnp.asarray(np.pad(seq, (0, t_pad - len(seq)))[None]),
+                       jnp.asarray(np.pad(sub_ids,
+                                          (0, s_pad - len(sub_ids)))[None]),
                        jnp.asarray(cls[None]), jnp.asarray(cls[None]),
+                       jnp.asarray([len(seq)]), jnp.asarray([len(sub_ids)]),
                        jax.random.PRNGKey(0))
         n = int(out["mel_lengths"][0])
         if not bool(out["infer_ok"][0]):
             print(f"{utt_id}: reached max decoder steps")
-        # keep at least 8 frames: a 1-frame mel (the reference's
-        # gate-fires-on-first-frame quirk, model.py:461-467) would make the
-        # iSTFT output empty after edge trimming
         mel = out["mel_postnet"][:, :, :max(n, 8)]
 
         align = np.asarray(out["alignments"][0, :n])
@@ -197,14 +235,15 @@ def run_inference(args) -> int:
         _save_plot(plot_spectrogram(np.asarray(mel[0])),
                    os.path.join(args.out_dir, "mels", f"{utt_id}.png"))
 
-        wav = vocode(mel)
+        wav = vocode_bucketed(vocode, out["mel_postnet"], n)
         if vocoder_name == "hifigan":
             wav = wav * MAX_WAV_VALUE
             if bias_spec is not None:
-                wav = DN.denoise(wav, bias_spec, strength=0.9)
-            wav_np = np.asarray(wav[0])
+                wav = np.asarray(DN.denoise(jnp.asarray(wav), bias_spec,
+                                            strength=0.9))
+            wav_np = wav[0]
         else:
-            wav_np = np.asarray(wav[0]) * 32768.0
+            wav_np = wav[0] * 32768.0
         write_wav(wav_path, np.clip(wav_np, -32768, 32767))
         n_done += 1
         print(f"{utt_id}: {mel.shape[-1]} frames -> "

@@ -210,8 +210,11 @@ def infer(params, cfg: WaveGlowConfig, spect, *, sigma: float = 1.0, key):
         if k % cfg.n_early_every == 0 and k > 0:
             n_rem -= cfg.n_early_size
 
+    # draw latents in f32 regardless of compute dtype (bf16 normals would
+    # make the synthesis depend on dtype through the latent itself)
     key, k0 = jax.random.split(key)
-    a = sigma * jax.random.normal(k0, (B, n_rem, Tg), spect.dtype)
+    a = (sigma * jax.random.normal(k0, (B, n_rem, Tg), jnp.float32)
+         ).astype(spect.dtype)
 
     for k in reversed(range(cfg.n_flows)):
         n_half = a.shape[1] // 2
@@ -222,14 +225,19 @@ def infer(params, cfg: WaveGlowConfig, spect, *, sigma: float = 1.0, key):
         a1 = (a1 - b) / jnp.exp(s)
         a = jnp.concatenate([a0, a1], axis=1)
 
-        W_inv = jnp.linalg.inv(params["convinv"][k]["w"])
+        # invert in f32: lapack has no bf16 kernels, and an 8x8 inverse in
+        # low precision would poison the whole reverse chain (the reference
+        # caches a float inverse too, glow.py:262-268)
+        W_inv = jnp.linalg.inv(
+            params["convinv"][k]["w"].astype(jnp.float32)).astype(a.dtype)
         a = jnp.einsum("ij,bjt->bit", W_inv, a,
                        preferred_element_type=jnp.float32).astype(a.dtype)
 
         if k % cfg.n_early_every == 0 and k > 0:
             key, kz = jax.random.split(key)
-            z = sigma * jax.random.normal(
-                kz, (B, cfg.n_early_size, Tg), spect.dtype)
+            z = (sigma * jax.random.normal(
+                kz, (B, cfg.n_early_size, Tg), jnp.float32)
+                ).astype(a.dtype)
             a = jnp.concatenate([z, a], axis=1)
 
     return _ungroup_audio(a)

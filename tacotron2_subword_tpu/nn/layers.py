@@ -373,3 +373,16 @@ def bilstm_apply(p, x, lengths=None):
         valid = (jnp.arange(x.shape[1])[None, :] < lengths[:, None])
         out = out * valid[:, :, None].astype(out.dtype)
     return out
+
+
+def cast_floating(tree, dtype):
+    """Cast every floating leaf of a param pytree to ``dtype`` (bf16
+    inference casting for the vocoders: the conv kernels accumulate in f32
+    via preferred_element_type, so bf16 params/activations halve the HBM
+    weight stream and double MXU throughput at ~1e-2 output tolerance)."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, tree)

@@ -188,3 +188,50 @@ def test_denoiser_removes_bias():
     den = D.denoise(noisy, bias_spec, strength=1.0)
     # removing the bias at full strength must cut most of the energy
     assert float(jnp.mean(den ** 2)) < 0.25 * float(jnp.mean(noisy ** 2))
+
+
+def test_vocoders_bf16_cast_parity():
+    """cast_floating(params, bf16) + bf16 mel must track the f32 output
+    (conv accumulation stays f32 via preferred_element_type) — the
+    production serving dtype used by bench.py."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tacotron2_subword_tpu.models import hifigan as HG
+    from tacotron2_subword_tpu.models import waveglow as WG
+    from tacotron2_subword_tpu.nn.layers import cast_floating
+
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(2, 8, 12).astype(np.float32))
+
+    h = HG.HifiganConfig(
+        resblock="1", upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2, 3),), num_mels=8)
+    gen = HG.fuse_generator(HG.init_generator(jax.random.PRNGKey(0), h))
+    ref = np.asarray(HG.generator_apply(gen, h, mel), np.float32)
+    out = np.asarray(HG.generator_apply(
+        cast_floating(gen, jnp.bfloat16), h,
+        mel.astype(jnp.bfloat16)), np.float32)
+    assert out.dtype == np.float32 and np.isfinite(out).all()
+    # tanh-bounded output: absolute tolerance is the honest metric for bf16
+    assert np.abs(out - ref).max() < 0.1
+    assert np.abs(out - ref).mean() < 0.02
+
+    wcfg = WG.WaveGlowConfig(n_flows=2, n_group=4, n_early_every=4,
+                             n_early_size=2, n_mel_channels=8,
+                             wn_layers=2, wn_channels=16,
+                             wn_kernel_size=3)
+    wg = WG.init_waveglow(jax.random.PRNGKey(1), wcfg)
+    k = jax.random.PRNGKey(2)
+    ref = np.asarray(WG.infer(wg, wcfg, mel, sigma=0.6, key=k), np.float32)
+    out = np.asarray(WG.infer(cast_floating(wg, jnp.bfloat16), wcfg,
+                              mel.astype(jnp.bfloat16), sigma=0.6, key=k),
+                     np.float32)
+    assert np.isfinite(out).all()
+    # a flow INVERSE chains divisions by exp(s): bf16 noise amplifies
+    # per-element (chaotic on random init), so the honest bf16 contract is
+    # distribution-level agreement, not elementwise parity
+    rms_ref = float(np.sqrt((ref ** 2).mean()))
+    rms_out = float(np.sqrt((out ** 2).mean()))
+    assert 0.5 < rms_out / rms_ref < 2.0

@@ -111,12 +111,18 @@ def main():
 
 def load_val_batch(args):
     base = os.path.join(args.data, "val")
-    T_TEXT, T_SUB = 32, 16  # fixed padded shapes: ONE compile for the sweep
-    texts, subs, clss, gts, t_lens, s_lens = [], [], [], [], [], []
+    raw = []
     for i in range(args.n):
         dur = np.load(os.path.join(base, "durations", f"{i}.npy"))
-        phones = dur[:, 0].astype(np.int32)
-        sub_ids = np.load(os.path.join(base, "sub", f"{i}.npy"))
+        raw.append((dur[:, 0].astype(np.int32),
+                    np.load(os.path.join(base, "sub", f"{i}.npy"))))
+    # padded shapes derived from the corpus, rounded to fixed multiples:
+    # still ONE compile for the whole sweep
+    T_TEXT = -(-max(len(p) for p, _ in raw) // 16) * 16
+    T_SUB = -(-max(len(s) for _, s in raw) // 8) * 8
+    texts, subs, clss, gts, t_lens, s_lens = [], [], [], [], [], []
+    for i in range(args.n):
+        phones, sub_ids = raw[i]
         texts.append(np.pad(phones, (0, T_TEXT - len(phones))))
         subs.append(np.pad(sub_ids, (0, T_SUB - len(sub_ids))))
         clss.append(np.load(os.path.join(base, "cls", f"{i}.npy")))

@@ -5,15 +5,21 @@ GTA.py + the in-tree discriminator stack hifigan_infer/hifigan_model.py:
 
 Steps:
  1. Griffin-Lim waveforms from the corpus ground-truth mels (the synthetic
-    corpus ships no audio) → {work}/wavs/placeholder_{i}.wav
+    corpus ships no audio) → {work}/wavs/placeholder_{i}.wav; the last
+    --eval-n utterances are HELD OUT of the fine-tune
  2. apps.gta: teacher-forced mel extraction with the trained acoustic
     checkpoint → {work}/gta_mels/placeholder_{i}.npy
  3. apps.train_hifigan on (GTA mel, waveform) pairs for --iters steps
- 4. vocode one GTA mel with the fine-tuned generator → {work}/vocoded.wav
+ 4. held-out mel-L1 (|mel(G(gta_mel)) - gt_mel|, the standard HiFi-GAN
+    validation metric) for the INIT generator vs the FINE-TUNED one, +
+    vocode a held-out GTA mel → {work}/vocoded.wav; with --report, write
+    the before/after table to {report}/gta_hifigan_finetune.md and copy
+    the wav next to it
 
 Usage: python tools/gta_vocoder_smoke.py --data /tmp/synth_data \
            --checkpoint /tmp/run_full/checkpoint_best --work /tmp/gta_smoke \
-           [--split val] [--iters 5] [--cpu]
+           [--split val] [--iters 500] [--eval-n 2] [--report reports/] \
+           [--cpu]
 """
 
 from __future__ import annotations
@@ -37,6 +43,12 @@ def main():
     ap.add_argument("--split", default="val")
     ap.add_argument("--n", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--eval-n", type=int, default=2,
+                    help="trailing utterances held out of the fine-tune "
+                         "for the before/after mel-L1 evaluation")
+    ap.add_argument("--report", default=None,
+                    help="directory to write gta_hifigan_finetune.md + the "
+                         "fine-tuned-vocoder wav into")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -52,13 +64,18 @@ def main():
 
     base = os.path.join(args.data, args.split)
     wav_dir = os.path.join(args.work, "wavs")
+    eval_wav_dir = os.path.join(args.work, "eval_wavs")
     gta_dir = os.path.join(args.work, "gta_mels")
     voc_dir = os.path.join(args.work, "hifigan")
     os.makedirs(wav_dir, exist_ok=True)
+    os.makedirs(eval_wav_dir, exist_ok=True)
 
     # ---- 1. Griffin-Lim audio from ground-truth mels -------------------
+    # (held-out eval utterances land in a separate dir so the fine-tune
+    # never sees them)
     from scipy.io.wavfile import write as wav_write
     rows = []
+    n_train = args.n - args.eval_n
     inv = jax.jit(lambda m: S.inv_mel_spec(m))
     for i in range(args.n):
         dur_path = os.path.join(base, "durations", f"{i}.npy")
@@ -66,13 +83,15 @@ def main():
                                    f"ljspeech-mel-{i + 1:05d}.npy"))
         wav = np.asarray(inv(jnp.asarray(mel[None])))[0]
         wav = wav / max(1e-6, np.abs(wav).max()) * 0.8
-        wav_path = os.path.join(wav_dir, f"placeholder_{i}.wav")
+        out_dir = wav_dir if i < n_train else eval_wav_dir
+        wav_path = os.path.join(out_dir, f"placeholder_{i}.wav")
         wav_write(wav_path, 22050, (wav * 32767).astype(np.int16))
         rows.append(f"{wav_path}|{dur_path}")
     list_path = os.path.join(args.work, "list.txt")
     with open(list_path, "w") as f:
         f.write("\n".join(rows) + "\n")
-    print(f"[1/4] wrote {args.n} griffin-lim wavs", flush=True)
+    print(f"[1/4] wrote {args.n} griffin-lim wavs "
+          f"({args.eval_n} held out)", flush=True)
 
     # ---- 2. GTA extraction (subprocess keeps backend choice clean) -----
     cmd = [sys.executable, "-m", "tacotron2_subword_tpu.apps.gta",
@@ -96,21 +115,68 @@ def main():
     assert ckpts, "no fine-tuned generator checkpoint written"
     print(f"[3/4] fine-tuned generator: {ckpts[-1]}", flush=True)
 
-    # ---- 4. vocode one GTA mel with the fine-tuned generator -----------
+    # ---- 4. held-out mel-L1 before/after + vocode ----------------------
     import orbax.checkpoint as ocp
     from tacotron2_subword_tpu.models import hifigan as HG
-    gen = ocp.PyTreeCheckpointer().restore(
-        os.path.join(os.path.abspath(voc_dir), ckpts[-1]))
     h = HG.HifiganConfig()
-    mel = np.load(os.path.join(gta_dir, "placeholder_0.npy"))
-    y = np.asarray(HG.generator_apply(gen, h, jnp.asarray(mel[None])))[0, 0]
+    gen_init = HG.init_generator(jax.random.PRNGKey(1234), h)
+    gen_ft = ocp.PyTreeCheckpointer().restore(
+        os.path.join(os.path.abspath(voc_dir), ckpts[-1]))
+
+    apply_fn = jax.jit(lambda p, m: HG.generator_apply(p, h, m))
+    mel_fn = jax.jit(lambda y: S.mel_spectrogram(y))
+
+    def melL1(gen_params, idx: int) -> float:
+        """|mel(G(gta_mel)) - gt_mel| on a held-out utterance — the
+        standard HiFi-GAN validation metric, target = the ground-truth mel
+        the training audio was rendered from."""
+        gta = np.load(os.path.join(gta_dir, f"placeholder_{idx}.npy"))
+        gt = np.load(os.path.join(base, "mels",
+                                  f"ljspeech-mel-{idx + 1:05d}.npy"))
+        y = apply_fn(gen_params, jnp.asarray(gta[None]))[:, 0, :]
+        m = np.asarray(mel_fn(jnp.clip(y, -1, 1)))[0]
+        n = min(m.shape[-1], gt.shape[-1])
+        return float(np.mean(np.abs(m[:, :n] - gt[:, :n])))
+
+    eval_ids = list(range(n_train, args.n))
+    l1_init = float(np.mean([melL1(gen_init, i) for i in eval_ids]))
+    l1_ft = float(np.mean([melL1(gen_ft, i) for i in eval_ids]))
+    print(f"[4/4] held-out mel-L1: init {l1_init:.4f} -> "
+          f"fine-tuned {l1_ft:.4f} ({args.iters} iters, "
+          f"{len(eval_ids)} utts)", flush=True)
+
+    mel = np.load(os.path.join(gta_dir, f"placeholder_{eval_ids[0]}.npy"))
+    y = np.asarray(apply_fn(gen_ft, jnp.asarray(mel[None])))[0, 0]
     assert np.isfinite(y).all()
     assert len(y) == mel.shape[1] * 256  # 8*8*2*2 upsampling
     out_wav = os.path.join(args.work, "vocoded.wav")
     wav_write(out_wav, 22050,
               (np.clip(y, -1, 1) * 32767).astype(np.int16))
-    print(f"[4/4] vocoded {out_wav}: {len(y)} samples "
+    print(f"vocoded {out_wav}: {len(y)} samples "
           f"({len(y) / 22050:.2f}s), rms {float(np.sqrt((y**2).mean())):.4f}")
+
+    if args.report:
+        os.makedirs(args.report, exist_ok=True)
+        import shutil
+        shutil.copy(out_wav, os.path.join(args.report,
+                                          "vocoded_gta_hifigan.wav"))
+        with open(os.path.join(args.report, "gta_hifigan_finetune.md"),
+                  "w") as f:
+            f.write(
+                "# GTA -> HiFi-GAN fine-tune (reference production "
+                "workflow)\n\n"
+                f"Acoustic checkpoint: `{args.checkpoint}`; "
+                f"{n_train} train / {len(eval_ids)} held-out utterances; "
+                f"{args.iters} GAN fine-tune iters (MPD+MSD+feature-"
+                "matching+45x mel-L1, apps/train_hifigan.py), GTA mels "
+                "from apps/gta.py.\n\n"
+                "| generator | held-out mel-L1 (|mel(G(gta)) - gt_mel|) |\n"
+                "|---|---|\n"
+                f"| random init | {l1_init:.4f} |\n"
+                f"| fine-tuned ({args.iters} iters) | {l1_ft:.4f} |\n\n"
+                "`vocoded_gta_hifigan.wav` is a held-out GTA mel vocoded "
+                "by the fine-tuned generator.\n")
+        print(f"report -> {args.report}/gta_hifigan_finetune.md")
     print("GTA -> HiFi-GAN fine-tune -> vocode: OK")
 
 

@@ -16,13 +16,72 @@ NOTE: the axon compile endpoint is serialized — do not run while training.
 from __future__ import annotations
 
 import argparse
+import glob
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# the C++ protobuf runtime in this image cannot load the tsl xplane schema;
+# must be set before any protobuf import (CLAUDE.md xprof recipe)
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
+
+def _parse_xplane_device_ms(trace_dir: str) -> dict:
+    """{xla_module_name: [event_ms, ...]} from the device planes of the
+    newest xplane.pb under ``trace_dir`` (pure-python protobuf fallback —
+    see CLAUDE.md 'Wall-clock through the axon tunnel is NOT device time')."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                             recursive=True))
+    if not paths:
+        return {}
+    space = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        space.ParseFromString(f.read())
+    per_module: dict = {}
+    for plane in space.planes:
+        if "TPU" not in plane.name or "Host" in plane.name:
+            continue
+        meta = plane.event_metadata
+        for line in plane.lines:
+            if "XLA Modules" not in line.name:
+                continue
+            for ev in line.events:
+                name = meta[ev.metadata_id].name
+                per_module.setdefault(name, []).append(
+                    ev.duration_ps / 1e9)
+    return per_module
+
+
+def device_ms(fn, *args, repeats: int = 10):
+    """Median on-DEVICE ms per call of the dominant XLA module, captured
+    with the JAX profiler (wall time through the axon tunnel carries ~30 ms
+    of dispatch overhead per call and cannot rank kernels)."""
+    import jax
+    import jax.numpy as jnp
+
+    def fetch(o):
+        np.asarray(jnp.asarray(o).sum() if not isinstance(o, tuple)
+                   else sum(jnp.asarray(x).sum() for x in o))
+
+    fetch(fn(*args))  # warm/compile outside the trace
+    with tempfile.TemporaryDirectory() as d:
+        with jax.profiler.trace(d):
+            outs = [fn(*args) for _ in range(repeats)]
+            for o in outs:
+                fetch(o)
+        mods = _parse_xplane_device_ms(d)
+    if not mods:
+        return float("nan")
+    # the measured fn dominates total device time; the fetch-reduction
+    # modules are ~us noise
+    name = max(mods, key=lambda k: sum(mods[k]))
+    return float(np.median(mods[name]))
 
 
 def fetch_ms(fn, *args, repeats=10):
@@ -80,11 +139,16 @@ def main():
         t_scan = fetch_ms(scan_fb, D)
         t_f = fetch_ms(pal_f, D)
         t_fb = fetch_ms(pal_fb, D)
+        d_scan = device_ms(scan_fb, D)
+        d_f = device_ms(pal_f, D)
+        d_fb = device_ms(pal_fb, D)
         good = dv < 1e-5 and dv2 < 1e-5 and dg < 1e-5
         ok &= good
         lines.append(
-            f"softdtw B={B} {L_a}x{L_b}: scan fwd+bwd {t_scan:.2f} ms | "
-            f"pallas fwd {t_f:.2f} ms | pallas FUSED fwd+bwd {t_fb:.2f} ms | "
+            f"softdtw B={B} {L_a}x{L_b}: scan fwd+bwd {t_scan:.2f} ms "
+            f"(device {d_scan:.3f}) | pallas fwd {t_f:.2f} ms "
+            f"(device {d_f:.3f}) | pallas FUSED fwd+bwd {t_fb:.2f} ms "
+            f"(device {d_fb:.3f}) | "
             f"rel_dval={dv:.2e}/{dv2:.2e} |dgrad|max={dg:.2e} "
             f"{'OK' if good else 'MISMATCH'}")
 
@@ -104,10 +168,13 @@ def main():
         rel = np.abs(r1 - r0).max() / max(np.abs(r0).max(), 1e-6)
         t_ref = fetch_ms(ref, xq, w_q, scale)
         t_ker = fetch_ms(ker, xq, w_q, scale)
+        d_ref = device_ms(ref, xq, w_q, scale)
+        d_ker = device_ms(ker, xq, w_q, scale)
         good = rel < 2e-2
         ok &= good
-        lines.append(f"int8 matmul {M}x{K}x{N}: jnp-ref {t_ref:.2f} ms | "
-                     f"pallas {t_ker:.2f} ms | rel_err {rel:.2e} "
+        lines.append(f"int8 matmul {M}x{K}x{N}: jnp-ref {t_ref:.2f} ms "
+                     f"(device {d_ref:.3f}) | pallas {t_ker:.2f} ms "
+                     f"(device {d_ker:.3f}) | rel_err {rel:.2e} "
                      f"{'OK' if good else 'MISMATCH'}")
 
     report = "\n".join(lines)
