@@ -310,9 +310,12 @@ def _skew_blocked(D: jnp.ndarray, bandwidth: float, block_b: int):
     pad batch to a multiple of ``block_b`` (padding rows are all-INF, which
     both passes treat as dead cells), and fold the batch block into the
     SUBLANE dim: [G, P, BB, Np] so one grid step processes BB rows as full
-    (8, 128) VPU tiles.  A [1, Np] diagonal uses 1/8 of the VPU sublanes;
-    measured on v5e this blocking is what makes the kernels beat the scan.
-    """
+    (8, 128) VPU tiles (a [1, Np] diagonal would waste 7/8 of the VPU
+    sublanes).  Perf standing (device-time numbers in
+    reports/tpu_kernel_evidence.md): the forward-only kernel beats the
+    scan at large shapes; the FUSED fwd+bwd kernel is near parity with the
+    scan's fwd+bwd — its win is a single launch and no R round-trip
+    through HBM, not raw compute time."""
     B, N, M = D.shape
     band = jnp.asarray(_band_mask(N, M, bandwidth)[None], D.dtype)
     Dm = jnp.where(band > 0, D, INF)
