@@ -2,8 +2,13 @@
 
 The reference offers onnxruntime / tf.lite sessions as drop-in HiFi-GAN
 back-ends (reference inference.py:208-238, best_checkpoint.py:230-260).
-Neither runtime is installed in this image, so these loaders degrade with a
-clear error; when the runtime is importable the same call signature works.
+
+The TFLite path is fully functional here: tools/export_hifigan_tflite.py
+exports the JAX generator via jax2tf, and ``load_tflite_vocoder`` runs the
+flatbuffer through tf.lite.Interpreter (roundtrip-verified to ~1e-5,
+tests/test_vocoders.py::test_tflite_export_roundtrip).  onnxruntime is not
+installed in this image, so that loader degrades with a clear error; when
+it is importable the same call signature works.
 """
 
 from __future__ import annotations

@@ -235,3 +235,33 @@ def test_vocoders_bf16_cast_parity():
     rms_ref = float(np.sqrt((ref ** 2).mean()))
     rms_out = float(np.sqrt((out ** 2).mean()))
     assert 0.5 < rms_out / rms_ref < 2.0
+
+
+def test_tflite_export_roundtrip(tmp_path):
+    """Export the JAX generator to TFLite (jax2tf) and drive it through
+    models.vocoder_runtimes.load_tflite_vocoder — the reference's TFLite
+    HiFi-GAN path (best_checkpoint.py:230-260), producer + consumer."""
+    pytest.importorskip("tensorflow")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tacotron2_subword_tpu.models import hifigan as HG
+    from tacotron2_subword_tpu.models.vocoder_runtimes import \
+        load_tflite_vocoder
+    from tools.export_hifigan_tflite import export_tflite
+
+    h = HG.HifiganConfig(
+        resblock="1", upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2, 3),), num_mels=8)
+    gen = HG.fuse_generator(HG.init_generator(jax.random.PRNGKey(0), h))
+    path = str(tmp_path / "g.tflite")
+    n = export_tflite(gen, h, path, frames=12, batch=1)
+    assert n > 1000
+
+    voc = load_tflite_vocoder(path)
+    mel = np.random.RandomState(0).randn(1, 8, 12).astype(np.float32)
+    out = voc(mel)
+    ref = np.asarray(HG.generator_apply(gen, h, jnp.asarray(mel)))
+    assert out.shape == (1, 12 * 16)  # 4*4 upsampling
+    np.testing.assert_allclose(out, ref.reshape(1, -1), atol=1e-5)
