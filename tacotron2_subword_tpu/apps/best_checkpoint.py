@@ -87,6 +87,22 @@ def _prepare_batch(lines, t2s, cfg, pad_to: int = 32):
     return batch
 
 
+def mel_bucketed(mel_fn, wav: np.ndarray, hop: int = 256,
+                 bucket: int = 16384) -> np.ndarray:
+    """log-mel of a variable-length wav through ONE jitted STFT per sample
+    bucket: every distinct wav length would otherwise remote-compile a
+    fresh XLA program (minutes each through the serialized axon compile
+    endpoint).  Pad to the bucket, slice the frames back to the true
+    length — synthesized and ground-truth wavs go through the identical
+    path so the soft-DTW comparison stays consistent."""
+    n = len(wav)
+    pad = -(-n // bucket) * bucket
+    y = np.zeros((1, pad), np.float32)
+    y[0, :n] = np.clip(wav, -1, 1)
+    m = np.asarray(mel_fn(jnp.asarray(y)))[0]
+    return m[:, : n // hop + 1]
+
+
 def sweep(args) -> List[Dict]:
     from tacotron2_subword_tpu.config import create_config
     from tacotron2_subword_tpu.models import tacotron2 as M
@@ -119,6 +135,18 @@ def sweep(args) -> List[Dict]:
                        text_lengths=batch["t_lens"],
                        sub_lengths=batch["s_lens"])
 
+    # ground-truth wavs/mels are fixed across checkpoints: load + mel them
+    # ONCE (bucketed), not per checkpoint row
+    mel_fn = jax.jit(S.mel_spectrogram)
+    gt_cache: Dict[str, tuple] = {}
+    for utt_id, _text in lines:
+        gt_path = os.path.join(args.gt_dir, f"{utt_id}.wav")
+        if os.path.exists(gt_path):
+            from scipy.io.wavfile import read as wavread
+            _, gt = wavread(gt_path)
+            gt = gt.astype(np.float32) / 32768.0
+            gt_cache[utt_id] = (gt, mel_bucketed(mel_fn, gt))
+
     ledger = read_ledger(args.out_csv)
     results = []
     for ckpt in list_checkpoints(args.checkpoint_dir):
@@ -144,21 +172,15 @@ def sweep(args) -> List[Dict]:
             trimmed, start, _ = trim_silence(wav, fs=cfg.sampling_rate)
             silences.append(start / cfg.sampling_rate)
 
-            gt_path = os.path.join(args.gt_dir, f"{utt_id}.wav")
-            if os.path.exists(gt_path):
-                from scipy.io.wavfile import read as wavread
-                _, gt = wavread(gt_path)
-                gt = gt.astype(np.float32) / 32768.0
+            if utt_id in gt_cache:
+                gt, gt_mel = gt_cache[utt_id]
                 mcd = mcd_between_wavs(trimmed, gt, fs=cfg.sampling_rate)
                 if mcd is not None:
                     mcds.append(mcd)
                 # audio-domain soft-DTW: mels recomputed from BOTH wavs
                 # (reference best_checkpoint.py:422-433 via Audio.tools
                 # get_mel on the synthesized + ground-truth audio)
-                syn_mel = np.asarray(S.mel_spectrogram(
-                    jnp.asarray(np.clip(trimmed, -1, 1)[None])))[0]
-                gt_mel = np.asarray(S.mel_spectrogram(
-                    jnp.asarray(np.clip(gt, -1, 1)[None])))[0]
+                syn_mel = mel_bucketed(mel_fn, trimmed)
                 D = ((syn_mel.T[:, None, :]
                       - gt_mel.T[None, :, :]) ** 2).sum(-1)
                 sdtws.append(EM.softdtw_np(D, gamma=1.0)

@@ -69,6 +69,7 @@ def load_checkpoint(path: str, state: T.TrainState
                     ) -> Tuple[T.TrainState, Dict[str, Any]]:
     """Restore a full train state (optimizer + step included, reference
     train.py:100-113).  ``state`` provides the pytree structure."""
+    path = os.path.abspath(path)  # orbax rejects relative paths
     ckptr = ocp.PyTreeCheckpointer()
     template = {"step": np.int64(0),
                 "params": jax.tree_util.tree_map(np.asarray, state.params),
@@ -100,6 +101,7 @@ def warm_start(path: str, state: T.TrainState,
     """Load params only, keeping the current values for any top-level key in
     ``ignore_layers`` (reference train.py:86-98 with
     ignore_layers=['embedding.weight'])."""
+    path = os.path.abspath(path)  # orbax rejects relative paths
     ckptr = ocp.PyTreeCheckpointer()
     template = {"step": np.int64(0),
                 "params": jax.tree_util.tree_map(np.asarray, state.params),

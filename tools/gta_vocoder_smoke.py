@@ -76,12 +76,20 @@ def main():
     from scipy.io.wavfile import write as wav_write
     rows = []
     n_train = args.n - args.eval_n
+    # bucket the mel length before the jitted Griffin-Lim: each distinct
+    # length would remote-compile a fresh program (minutes per shape on the
+    # serialized axon endpoint); slice the wav back to the true length
     inv = jax.jit(lambda m: S.inv_mel_spec(m))
+    MEL_FLOOR = float(np.log(1e-5))
     for i in range(args.n):
         dur_path = os.path.join(base, "durations", f"{i}.npy")
         mel = np.load(os.path.join(base, "mels",
                                    f"ljspeech-mel-{i + 1:05d}.npy"))
-        wav = np.asarray(inv(jnp.asarray(mel[None])))[0]
+        T = mel.shape[1]
+        pad_f = -(-T // 64) * 64
+        mel_p = np.pad(mel, ((0, 0), (0, pad_f - T)),
+                       constant_values=MEL_FLOOR)
+        wav = np.asarray(inv(jnp.asarray(mel_p[None])))[0][: T * 256]
         wav = wav / max(1e-6, np.abs(wav).max()) * 0.8
         out_dir = wav_dir if i < n_train else eval_wav_dir
         wav_path = os.path.join(out_dir, f"placeholder_{i}.wav")
@@ -126,6 +134,18 @@ def main():
     apply_fn = jax.jit(lambda p, m: HG.generator_apply(p, h, m))
     mel_fn = jax.jit(lambda y: S.mel_spectrogram(y))
 
+    def vocode_b(gen_params, gta: np.ndarray) -> np.ndarray:
+        """Generator over a 64-frame-bucketed mel (one compile per bucket,
+        not per utterance length), waveform cut to the true length."""
+        T = gta.shape[1]
+        pad_f = -(-T // 64) * 64
+        m = np.pad(gta, ((0, 0), (0, pad_f - T)),
+                   constant_values=MEL_FLOOR)
+        y = np.asarray(apply_fn(gen_params, jnp.asarray(m[None])))[0, 0]
+        return y[: T * 256]
+
+    from tacotron2_subword_tpu.apps.best_checkpoint import mel_bucketed
+
     def melL1(gen_params, idx: int) -> float:
         """|mel(G(gta_mel)) - gt_mel| on a held-out utterance — the
         standard HiFi-GAN validation metric, target = the ground-truth mel
@@ -133,8 +153,8 @@ def main():
         gta = np.load(os.path.join(gta_dir, f"placeholder_{idx}.npy"))
         gt = np.load(os.path.join(base, "mels",
                                   f"ljspeech-mel-{idx + 1:05d}.npy"))
-        y = apply_fn(gen_params, jnp.asarray(gta[None]))[:, 0, :]
-        m = np.asarray(mel_fn(jnp.clip(y, -1, 1)))[0]
+        y = vocode_b(gen_params, gta)
+        m = mel_bucketed(mel_fn, np.clip(y, -1, 1))
         n = min(m.shape[-1], gt.shape[-1])
         return float(np.mean(np.abs(m[:, :n] - gt[:, :n])))
 
@@ -146,7 +166,7 @@ def main():
           f"{len(eval_ids)} utts)", flush=True)
 
     mel = np.load(os.path.join(gta_dir, f"placeholder_{eval_ids[0]}.npy"))
-    y = np.asarray(apply_fn(gen_ft, jnp.asarray(mel[None])))[0, 0]
+    y = vocode_b(gen_ft, mel)
     assert np.isfinite(y).all()
     assert len(y) == mel.shape[1] * 256  # 8*8*2*2 upsampling
     out_wav = os.path.join(args.work, "vocoded.wav")
