@@ -90,13 +90,20 @@ def load_vocoder(hifigan_checkpoint: Optional[str],
         h = (HG.HifiganConfig.from_json(hifigan_config)
              if hifigan_config else HG.HifiganConfig())
         if os.path.isdir(hifigan_checkpoint):
-            raise ValueError("expected a torch HiFi-GAN checkpoint file")
-        import torch
-        sd = torch.load(hifigan_checkpoint, map_location="cpu",
-                        weights_only=False)
-        sd = sd.get("generator", sd)
-        sd = {k: v.numpy() for k, v in sd.items()}
-        params = HG.fuse_generator(HG.import_torch_generator(sd, h))
+            # orbax dir from apps/train_hifigan (e.g. a GTA fine-tuned
+            # generator, g_NNNNNNNN) — weight-norm params, fused for
+            # serving like the reference's remove_weight_norm()
+            import orbax.checkpoint as ocp
+            raw = ocp.PyTreeCheckpointer().restore(
+                os.path.abspath(hifigan_checkpoint))
+            params = HG.fuse_generator(raw)
+        else:
+            import torch
+            sd = torch.load(hifigan_checkpoint, map_location="cpu",
+                            weights_only=False)
+            sd = sd.get("generator", sd)
+            sd = {k: v.numpy() for k, v in sd.items()}
+            params = HG.fuse_generator(HG.import_torch_generator(sd, h))
 
         @jax.jit
         def vocode(mel):

@@ -265,3 +265,40 @@ def test_tflite_export_roundtrip(tmp_path):
     ref = np.asarray(HG.generator_apply(gen, h, jnp.asarray(mel)))
     assert out.shape == (1, 12 * 16)  # 4*4 upsampling
     np.testing.assert_allclose(out, ref.reshape(1, -1), atol=1e-5)
+
+
+def test_load_vocoder_orbax_dir(tmp_path):
+    """apps.inference.load_vocoder accepts an orbax generator dir from
+    apps/train_hifigan (e.g. a GTA fine-tuned g_NNNNNNNN) and serves it
+    fused, matching generator_apply on the raw weight-norm params."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import orbax.checkpoint as ocp
+    from tacotron2_subword_tpu.apps.inference import load_vocoder
+    from tacotron2_subword_tpu.models import hifigan as HG
+
+    h = HG.HifiganConfig(
+        resblock="1", upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2, 3),), num_mels=8)
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps({
+        "resblock": "1", "upsample_rates": [4, 4],
+        "upsample_kernel_sizes": [8, 8], "upsample_initial_channel": 32,
+        "resblock_kernel_sizes": [3],
+        "resblock_dilation_sizes": [[1, 2, 3]], "num_mels": 8}))
+    gen = HG.init_generator(jax.random.PRNGKey(0), h)
+    ckpt_dir = str(tmp_path / "g_00000042")
+    ocp.PyTreeCheckpointer().save(
+        ckpt_dir, jax.tree_util.tree_map(np.asarray, gen))
+
+    vocode, name = load_vocoder(ckpt_dir, str(cfg_path))
+    assert name == "hifigan"
+    mel = jnp.asarray(np.random.RandomState(0).randn(1, 8, 12), jnp.float32)
+    out = np.asarray(vocode(mel))
+    ref = np.asarray(HG.generator_apply(gen, h, mel))[:, 0, :]
+    assert out.shape == (1, 12 * 16)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
