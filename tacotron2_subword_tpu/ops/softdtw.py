@@ -311,11 +311,13 @@ def _skew_blocked(D: jnp.ndarray, bandwidth: float, block_b: int):
     both passes treat as dead cells), and fold the batch block into the
     SUBLANE dim: [G, P, BB, Np] so one grid step processes BB rows as full
     (8, 128) VPU tiles (a [1, Np] diagonal would waste 7/8 of the VPU
-    sublanes).  Perf standing (device-time numbers in
-    reports/tpu_kernel_evidence.md): the forward-only kernel beats the
-    scan at large shapes; the FUSED fwd+bwd kernel is near parity with the
-    scan's fwd+bwd — its win is a single launch and no R round-trip
-    through HBM, not raw compute time."""
+    sublanes).  Perf standing (xprof DEVICE times, v5e,
+    reports/tpu_kernel_evidence.md): the forward-only kernel is 2.1-2.3x
+    the scan at 17x15 and 256x256 and at parity at 64x64; the FUSED
+    fwd+bwd kernel vs jax.grad-of-scan is ~1.2x faster at 17x15/256x256
+    but ~1.9x SLOWER at 64x64 (E-block streaming dominates mid sizes) —
+    its robust win is one launch and no R round-trip through HBM, not raw
+    compute time at every shape."""
     B, N, M = D.shape
     band = jnp.asarray(_band_mask(N, M, bandwidth)[None], D.dtype)
     Dm = jnp.where(band > 0, D, INF)
