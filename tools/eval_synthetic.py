@@ -88,9 +88,25 @@ def main():
 
     batch = load_val_batch(args)
     ledger, rows = [], []
+    # resumable sweep ledger: append each (checkpoint, gate) row as it is
+    # produced and skip rows already present (the reference's resumable CSV
+    # pattern, best_checkpoint.py:444-456) — a killed sweep loses nothing
+    sweep_csv = args.out_csv if args.sweep_dir else None
+    done = set()
+    if sweep_csv and os.path.exists(sweep_csv):
+        with open(sweep_csv, newline="") as f:
+            for r in csv.DictReader(f):
+                done.add((r["checkpoint"], float(r["gate"])))
+                ledger.append(r)
     for ckpt in ckpts:
+        todo = [t for t in thresholds
+                if (os.path.basename(ckpt), t) not in done]
+        if not todo:
+            print(f"{os.path.basename(ckpt)}: already in ledger, skipping",
+                  flush=True)
+            continue
         state, _meta = CK.load_checkpoint(ckpt, skeleton)
-        for thr in thresholds:
+        for thr in todo:
             summary, rows = eval_checkpoint(args, state, ckpt, thr,
                                             infer_fn, batch, EM)
             ledger.append(summary)
@@ -99,9 +115,17 @@ def main():
                   f"MCD={summary['mcd']:.4f}  "
                   f"len_err={summary['len_err']*100:.1f}%  "
                   f"gate_ok={summary['gate_ok']}/{summary['n']}", flush=True)
+            if sweep_csv:
+                new = not os.path.exists(sweep_csv)
+                with open(sweep_csv, "a", newline="") as f:
+                    w = csv.DictWriter(f,
+                                       fieldnames=list(summary.keys()))
+                    if new:
+                        w.writeheader()
+                    w.writerow(summary)
 
-    if args.out_csv:
-        out_rows = ledger if (args.sweep_dir or len(ledger) > 1) else rows
+    if args.out_csv and not sweep_csv:
+        out_rows = ledger if len(ledger) > 1 else rows
         with open(args.out_csv, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=list(out_rows[0].keys()))
             w.writeheader()
