@@ -97,9 +97,16 @@ def mel_bucketed(mel_fn, wav: np.ndarray, hop: int = 256,
     path so the soft-DTW comparison stays consistent."""
     n = len(wav)
     pad = -(-n // bucket) * bucket
-    y = np.zeros((1, pad), np.float32)
-    y[0, :n] = np.clip(wav, -1, 1)
-    m = np.asarray(mel_fn(jnp.asarray(y)))[0]
+    w = np.clip(wav, -1, 1).astype(np.float32)
+    extra = pad - n
+    # REFLECT-pad the tail up to the bucket edge: zero-padding made the
+    # final 1-2 retained frames differ from an unbucketed reflect-pad-only
+    # STFT; with reflection the shared frames agree
+    if 0 < extra <= n - 1:
+        w = np.pad(w, (0, extra), mode="reflect")
+    else:
+        w = np.pad(w, (0, extra))
+    m = np.asarray(mel_fn(jnp.asarray(w[None])))[0]
     return m[:, : n // hop + 1]
 
 

@@ -24,10 +24,8 @@ def _load_wav(path: str, target_sr: int = None):
     if data.dtype == np.int16:
         wav = wav / 32768.0
     if target_sr and sr != target_sr:
-        # linear resample (librosa is absent in this image)
-        n = int(len(wav) * target_sr / sr)
-        wav = np.interp(np.linspace(0, len(wav) - 1, n),
-                        np.arange(len(wav)), wav).astype(np.float32)
+        from tacotron2_subword_tpu.eval.metrics import resample_to
+        wav = resample_to(wav, sr, target_sr).astype(np.float32)
         sr = target_sr
     return wav, sr
 

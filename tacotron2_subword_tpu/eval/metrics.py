@@ -67,7 +67,20 @@ def estimate_f0(wav: np.ndarray, fs: int, frame_period: float = 5.0,
 # ---------------------------------------------------------------------------
 
 def _spectral_envelope(wav: np.ndarray, fs: int, frame_period: float = 5.0,
-                       n_fft: int = 1024) -> np.ndarray:
+                       n_fft: int = 1024,
+                       f0_med: Optional[float] = None) -> np.ndarray:
+    """SMOOTHED log power envelope via F0-adaptive cepstral liftering.
+
+    The reference's pyworld.cheaptrick returns a harmonically-smoothed
+    envelope; a raw periodogram (what this function computed before
+    round 4) keeps the harmonic comb + vocoder phase noise, which drowned
+    the envelope differences MCD is supposed to measure — the round-3 wav
+    ledger sat in a flat 200-235 band while the mel ledger fell 80→3.
+    Liftering implements the same smoothing role: DCT-I of the log
+    periodogram (the real cepstrum of an even spectrum), zero every
+    quefrency at or above half the median pitch period (harmonics live at
+    lag 1/F0), invert.  Returns LOG power envelope [T, n_fft//2+1].
+    """
     hop = int(fs * frame_period / 1000.0)
     win = hann_window(n_fft)
     n_frames = max(0, (len(wav) - n_fft) // hop + 1)
@@ -75,22 +88,45 @@ def _spectral_envelope(wav: np.ndarray, fs: int, frame_period: float = 5.0,
     for t in range(n_frames):
         frame = wav[t * hop:t * hop + n_fft] * win
         sp[t] = np.abs(np.fft.rfft(frame)) ** 2 + 1e-10
-    return sp
+    # Per-frame -60 dB dynamic-range floor: digitally-silent bands (log of
+    # ~zero power) otherwise dominate the cepstral distance the moment ANY
+    # noise floor (vocoder phase noise, dither) fills them — a constant
+    # offset that drowned envelope differences in the round-3 wav ledger.
+    # A bounded envelope is also what CheapTrick returns.
+    sp = np.maximum(sp, sp.max(axis=1, keepdims=True) * 1e-6)
+    log_sp = np.log(sp)
+    # DCT-I coefficient q of the half-spectrum (sampled at fs/n_fft)
+    # corresponds to cepstral lag q/fs seconds == q samples; the first
+    # rahmonic of an F0 voice sits at q = fs/F0.  Keep q < 0.5*fs/F0.
+    f0_med = f0_med if f0_med and f0_med > 0 else 160.0
+    lifter = int(max(8, min(0.5 * fs / f0_med, log_sp.shape[1] - 1)))
+    ceps = scipy.fftpack.dct(log_sp, type=1, axis=1)
+    ceps[:, lifter:] = 0.0
+    smooth = scipy.fftpack.idct(ceps, type=1, axis=1) \
+        / (2 * (log_sp.shape[1] - 1))
+    return smooth
 
 
 def mel_cepstrum(wav: np.ndarray, fs: int, dim: int = 24,
                  frame_period: float = 5.0) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (mcep [T, dim], f0 [T]) on a shared frame grid."""
-    sp = _spectral_envelope(wav, fs, frame_period)
-    n_freqs = sp.shape[1]
+    """Returns (mcep [T, dim], f0 [T]) on a shared frame grid.
+
+    MCEP = DCT-II of the mel-warped SMOOTHED log envelope — the role of
+    pyworld.code_spectral_envelope(cheaptrick(...), fs, 24) in the
+    reference (evaluation.py:28-45); the liftering cutoff adapts to this
+    utterance's median voiced F0 like CheapTrick's F0-adaptive window."""
+    f0 = estimate_f0(wav, fs, frame_period)
+    voiced = f0[f0 > 0]
+    f0_med = float(np.median(voiced)) if voiced.size else 0.0
+    log_env = _spectral_envelope(wav, fs, frame_period, f0_med=f0_med)
+    n_freqs = log_env.shape[1]
     freqs = np.linspace(0, fs / 2, n_freqs)
     # mel-warped log envelope sampled uniformly in mel
     mel_pts = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(fs / 2), 128))
-    warped = np.empty((sp.shape[0], 128))
-    for t in range(sp.shape[0]):
-        warped[t] = np.interp(mel_pts, freqs, np.log(sp[t]))
+    warped = np.empty((log_env.shape[0], 128))
+    for t in range(log_env.shape[0]):
+        warped[t] = np.interp(mel_pts, freqs, log_env[t])
     mcep = scipy.fftpack.dct(warped, type=2, axis=1, norm="ortho")[:, :dim]
-    f0 = estimate_f0(wav, fs, frame_period)
     n = min(len(f0), mcep.shape[0])
     return mcep[:n], f0[:n]
 
@@ -177,10 +213,31 @@ def mcd_from_mcep(src_mcc: np.ndarray, trg_mcc: np.ndarray) -> float:
     return float(np.mean(MCD_CONST * np.sqrt(2 * diff2sum)))
 
 
+def resample_to(wav: np.ndarray, fs: int, target_fs: int) -> np.ndarray:
+    """Polyphase resample (the role of librosa.load(sr=...), reference
+    evaluation.py:75-76)."""
+    if fs == target_fs:
+        return wav
+    import math
+
+    import scipy.signal
+    g = math.gcd(int(target_fs), int(fs))
+    return scipy.signal.resample_poly(
+        wav.astype(np.float64), target_fs // g, fs // g)
+
+
 def mcd_between_wavs(src: np.ndarray, trg: np.ndarray, fs: int = 16000,
-                     dim: int = 24) -> Optional[float]:
+                     dim: int = 24, eval_fs: int = 16000
+                     ) -> Optional[float]:
     """Waveforms → voiced-frame MCEPs → DTW → MCD (reference
-    evaluate_mcd_wav, evaluation.py:70-104)."""
+    evaluate_mcd_wav, evaluation.py:70-104).
+
+    The reference ALWAYS evaluates at 16 kHz (librosa.load(sr=16000),
+    evaluation.py:75-76) regardless of the synthesis rate; ``fs`` is the
+    rate of the inputs, which are resampled to ``eval_fs`` first."""
+    src = resample_to(src, fs, eval_fs)
+    trg = resample_to(trg, fs, eval_fs)
+    fs = eval_fs
     src_mcc, src_f0 = mel_cepstrum(src, fs, dim)
     trg_mcc, trg_f0 = mel_cepstrum(trg, fs, dim)
     src_mcc = src_mcc[src_f0 > 0]

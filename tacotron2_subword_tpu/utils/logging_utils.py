@@ -73,14 +73,18 @@ def plot_gate_outputs(gate_targets: np.ndarray,
 
 class Tacotron2Logger:
     def __init__(self, logdir: str, vocoder_fn=None,
-                 sampling_rate: int = 22050):
+                 sampling_rate: int = 22050,
+                 max_histograms: Optional[int] = None):
         """``vocoder_fn``: optional mel [1, n_mels, T] → wav [T'] used to log
         validation audio (the reference loads a hardcoded HiFi-GAN
-        universal checkpoint for this, logger.py:21-36)."""
+        universal checkpoint for this, logger.py:21-36).
+        ``max_histograms``: cap on per-validation parameter histograms
+        (None = all leaves, matching the reference's logger.py:77-79)."""
         from tensorboardX import SummaryWriter
         self.writer = SummaryWriter(logdir)
         self.vocoder_fn = vocoder_fn
         self.sampling_rate = sampling_rate
+        self.max_histograms = max_histograms
 
     def log_training(self, metrics: Dict[str, Any], learning_rate: float,
                      duration: float, iteration: int) -> None:
@@ -104,7 +108,12 @@ class Tacotron2Logger:
         # parameter histograms (reference logger.py:77-79)
         import jax
         flat = jax.tree_util.tree_flatten_with_path(params)[0]
-        for path, value in flat[:64]:
+        cap = self.max_histograms
+        if cap is not None and len(flat) > cap:
+            print(f"[logger] histogram cap: logging {cap}/{len(flat)} "
+                  "param leaves", flush=True)
+            flat = flat[:cap]
+        for path, value in flat:
             name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
                             for p in path)
             self.writer.add_histogram(name, np.asarray(value), iteration)

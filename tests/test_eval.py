@@ -130,8 +130,10 @@ def test_mcd_time_shift_worse_than_identical():
 
 def test_metric_golden_values():
     """Pinned outputs of the native F0/MCEP/MCD path on deterministic
-    signals: any numerical change to the pipeline (window, warp, DCT,
-    voicing) trips this before it can silently skew a quality ledger."""
+    signals: any numerical change to the pipeline (window, warp, lifter,
+    floor, DCT, voicing) trips this before it can silently skew a quality
+    ledger.  Values re-pinned in round 4 when the envelope gained
+    CheapTrick-style liftering + the -60 dB floor."""
     fs = 16000
     a = _harmonics(150, 1.0)
     b = _harmonics(260, 2.5)
@@ -140,6 +142,36 @@ def test_metric_golden_values():
     np.testing.assert_allclose(float(np.median(f0[f0 > 0])), 149.533,
                                rtol=1e-2)
     np.testing.assert_allclose(
-        mcep[0, :4], [-84.2979, 97.0734, -42.7414, 11.792], rtol=1e-2)
-    np.testing.assert_allclose(E.mcd_between_wavs(a, b, fs), 419.333,
+        mcep[0, :4], [-16.4593, 21.6002, -1.9289, 1.2117], rtol=1e-2)
+    np.testing.assert_allclose(E.mcd_between_wavs(a, b, fs), 102.433,
                                rtol=1e-2)
+
+
+def test_mcd_perturbation_far_below_random_pair():
+    """The round-3 verdict's metric sanity check: MCD(x, x+eps) must be
+    FAR smaller than MCD(random pair).  Before the -60 dB envelope floor
+    this FAILED (588 vs 388): digitally-silent bands contributed a huge
+    constant offset as soon as any noise floor filled them, which is what
+    flattened the round-3 wav-level checkpoint ledger."""
+    fs = 16000
+    a = _harmonics(150, 1.0)
+    b = _harmonics(260, 2.5)
+    eps = a + 0.002 * np.random.RandomState(11).randn(len(a)) \
+        .astype(np.float32)
+    mcd_eps = E.mcd_between_wavs(a, eps, fs)
+    mcd_pair = E.mcd_between_wavs(a, b, fs)
+    assert mcd_eps < 0.1 * mcd_pair, (mcd_eps, mcd_pair)
+
+
+def test_mcd_evaluates_at_16k_regardless_of_input_rate():
+    """The reference always evaluates MCD at 16 kHz (librosa.load(
+    sr=16000), evaluation.py:75-76); inputs at the 22.05 kHz synthesis
+    rate must be resampled, not analyzed at their native rate."""
+    fs = 16000
+    a = _harmonics(150, 1.0)
+    b = _harmonics(260, 2.5)
+    ref = E.mcd_between_wavs(a, b, fs)
+    a22 = E.resample_to(a, 16000, 22050)
+    b22 = E.resample_to(b, 16000, 22050)
+    got = E.mcd_between_wavs(a22, b22, fs=22050)
+    np.testing.assert_allclose(got, ref, rtol=2e-2)

@@ -117,6 +117,16 @@ def main():
                   f"gate_ok={summary['gate_ok']}/{summary['n']}", flush=True)
             if sweep_csv:
                 new = not os.path.exists(sweep_csv)
+                if not new:
+                    # resume-append must match the existing header exactly,
+                    # or rows silently misalign with the old columns
+                    with open(sweep_csv, newline="") as f:
+                        header = next(csv.reader(f))
+                    if header != list(summary.keys()):
+                        raise SystemExit(
+                            f"{sweep_csv} header {header} != current summary "
+                            f"schema {list(summary.keys())}; move the old "
+                            "ledger aside or use a new --sweep-csv name")
                 with open(sweep_csv, "a", newline="") as f:
                     w = csv.DictWriter(f,
                                        fieldnames=list(summary.keys()))

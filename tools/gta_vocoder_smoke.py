@@ -142,6 +142,9 @@ def main():
         m = np.pad(gta, ((0, 0), (0, pad_f - T)),
                    constant_values=MEL_FLOOR)
         y = np.asarray(apply_fn(gen_params, jnp.asarray(m[None])))[0, 0]
+        # upsampling-factor check on the RAW generator output (8*8*2*2=256
+        # samples per frame) — the post-slice length is true by construction
+        assert len(y) == pad_f * 256, (len(y), pad_f)
         return y[: T * 256]
 
     from tacotron2_subword_tpu.apps.best_checkpoint import mel_bucketed
@@ -168,7 +171,6 @@ def main():
     mel = np.load(os.path.join(gta_dir, f"placeholder_{eval_ids[0]}.npy"))
     y = vocode_b(gen_ft, mel)
     assert np.isfinite(y).all()
-    assert len(y) == mel.shape[1] * 256  # 8*8*2*2 upsampling
     out_wav = os.path.join(args.work, "vocoded.wav")
     wav_write(out_wav, 22050,
               (np.clip(y, -1, 1) * 32767).astype(np.int16))

@@ -131,13 +131,14 @@ def main():
             for i in range(args.steps):
                 s, m = step(s, batch_d, jax.random.PRNGKey(2 + i), cfg, tx)
             np.asarray(m["total"])
-        ops = parse_xplane_ops(d)
+        ops, module_ms = parse_xplane_ops(d)
 
     total = sum(ms for _, ms, _ in ops)
     per_step = total / args.steps
     lines = [f"train-step device profile — B={B}, T_out={t_out}, bf16, "
              f"{args.steps} steps, softdtw={args.softdtw}",
-             f"device total {total:.2f} ms -> {per_step:.2f} ms/step"]
+             f"device total {total:.2f} ms -> {per_step:.2f} ms/step "
+             f"(XLA Modules line: {module_ms / args.steps:.2f} ms/step)"]
     lines.append("")
     lines.append("by category (ms/step, % of device):")
     for cat, ms in sorted(categorize(ops).items(), key=lambda t: -t[1]):
