@@ -6,9 +6,11 @@ back-ends (reference inference.py:208-238, best_checkpoint.py:230-260).
 The TFLite path is fully functional here: tools/export_hifigan_tflite.py
 exports the JAX generator via jax2tf, and ``load_tflite_vocoder`` runs the
 flatbuffer through tf.lite.Interpreter (roundtrip-verified to ~1e-5,
-tests/test_vocoders.py::test_tflite_export_roundtrip).  onnxruntime is not
-installed in this image, so that loader degrades with a clear error; when
-it is importable the same call signature works.
+tests/test_vocoders.py::test_tflite_export_roundtrip).  The ONNX path is
+produced by tools/export_hifigan_onnx.py (ModelProto emitted natively via
+utils/onnx_lite.py) and served by ``load_onnx_vocoder`` — through
+onnxruntime when importable, otherwise through the bundled numpy executor
+(same op semantics; roundtrip-verified by test_onnx_export_roundtrip).
 """
 
 from __future__ import annotations
@@ -20,14 +22,25 @@ import numpy as np
 
 def load_onnx_vocoder(model_path: str) -> Callable[[np.ndarray], np.ndarray]:
     """Returns vocode_fn: mel [B, 80, T] float32 → wav [B, T'].
-    Mirror of the reference's hifigan_onnx_infer (inference.py:208-223)."""
+    Mirror of the reference's hifigan_onnx_infer (inference.py:208-223).
+
+    Uses onnxruntime when importable; otherwise falls back to the native
+    numpy executor in utils/onnx_lite (Conv/ConvTranspose/LeakyRelu/Tanh/
+    Add/Mul — the full HiFi-GAN generator op set)."""
     try:
         import onnxruntime
-    except ImportError as e:
-        raise RuntimeError(
-            "onnxruntime is not installed in this environment; use the "
-            "native JAX HiFi-GAN (models.hifigan) or install onnxruntime"
-        ) from e
+    except ImportError:
+        from tacotron2_subword_tpu.utils import onnx_lite as OX
+        with open(model_path, "rb") as f:
+            decoded = OX.decode_model(f.read())
+
+        def vocode_np(mel: np.ndarray) -> np.ndarray:
+            nodes, inits, in_names, _ = decoded
+            out = OX.run_model(decoded,
+                               {in_names[0]: mel.astype(np.float32)})[0]
+            return out.reshape(out.shape[0], -1)
+
+        return vocode_np
     sess = onnxruntime.InferenceSession(model_path)
     input_name = sess.get_inputs()[0].name
 

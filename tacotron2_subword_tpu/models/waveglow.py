@@ -245,7 +245,21 @@ def infer(params, cfg: WaveGlowConfig, spect, *, sigma: float = 1.0, key):
 
 def import_torch_waveglow(sd, cfg: WaveGlowConfig):
     """Import a reference WaveGlow state_dict (the reference saves whole
-    model objects, waveglow/train.py:52-60; call .state_dict() first)."""
+    model objects, waveglow/train.py:52-60; call .state_dict() first).
+
+    Accepts all three reference layouts:
+     - the modern one (reference glow.py:119-152): fused per-WN
+       ``cond_layer`` + fused ``res_skip_layers``;
+     - the vendored-waveglow one (reference waveglow/glow.py:119-152):
+       per-layer ``cond_layers.{i}`` (concatenated here along output
+       channels in layer order, exactly the slicing _wn_apply uses);
+     - the OLD one (reference waveglow/glow_old.py:30-64 +
+       convert_model.py:11-38): per-layer ``cond_layers.{i}`` AND split
+       ``res_layers``/``skip_layers`` — mirrored here by concatenating
+       res|skip rows per layer like update_model does (the last layer has
+       no res conv).  torch weight_norm is per-output-row (dim=0), so
+       concatenating v/g/b rows is exact, no weight materialization.
+    """
     sd = {k: np.asarray(v) for k, v in sd.items()}
 
     def wn_conv(prefix):
@@ -255,6 +269,34 @@ def import_torch_waveglow(sd, cfg: WaveGlowConfig):
                     "b": jnp.asarray(sd[f"{prefix}.bias"])}
         return {"w": jnp.asarray(sd[f"{prefix}.weight"]),
                 "b": jnp.asarray(sd[f"{prefix}.bias"])}
+
+    def wn_concat(convs):
+        """Row-concat weight-normed (or plain) convs along out-channels."""
+        if all("v" in c for c in convs):
+            return {"v": jnp.concatenate([c["v"] for c in convs]),
+                    "g": jnp.concatenate([c["g"] for c in convs]),
+                    "b": jnp.concatenate([c["b"] for c in convs])}
+        def w_of(c):
+            return c["w"] if "w" in c else L.weight_norm_weight(c)
+        return {"w": jnp.concatenate([w_of(c) for c in convs]),
+                "b": jnp.concatenate([c["b"] for c in convs])}
+
+    def cond(k):
+        if (f"WN.{k}.cond_layer.weight_v" in sd
+                or f"WN.{k}.cond_layer.weight" in sd):
+            return wn_conv(f"WN.{k}.cond_layer")
+        return wn_concat([wn_conv(f"WN.{k}.cond_layers.{i}")
+                          for i in range(cfg.wn_layers)])
+
+    def res_skip(k, i):
+        if (f"WN.{k}.res_skip_layers.{i}.weight_v" in sd
+                or f"WN.{k}.res_skip_layers.{i}.weight" in sd):
+            return wn_conv(f"WN.{k}.res_skip_layers.{i}")
+        # glow_old split layout (convert_model.py:21-33)
+        skip = wn_conv(f"WN.{k}.skip_layers.{i}")
+        if i < cfg.wn_layers - 1:
+            return wn_concat([wn_conv(f"WN.{k}.res_layers.{i}"), skip])
+        return skip
 
     params = {
         "upsample": {"w": jnp.asarray(sd["upsample.weight"]),
@@ -268,11 +310,10 @@ def import_torch_waveglow(sd, cfg: WaveGlowConfig):
             "start": wn_conv(f"WN.{k}.start"),
             "end": {"w": jnp.asarray(sd[f"WN.{k}.end.weight"]),
                     "b": jnp.asarray(sd[f"WN.{k}.end.bias"])},
-            "cond": wn_conv(f"WN.{k}.cond_layer"),
+            "cond": cond(k),
             "in_layers": [wn_conv(f"WN.{k}.in_layers.{i}")
                           for i in range(cfg.wn_layers)],
-            "res_skip": [wn_conv(f"WN.{k}.res_skip_layers.{i}")
-                         for i in range(cfg.wn_layers)],
+            "res_skip": [res_skip(k, i) for i in range(cfg.wn_layers)],
         }
         params["wn"].append(wn)
     return params

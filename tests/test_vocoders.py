@@ -155,6 +155,92 @@ def test_waveglow_forward_matches_reference(ref_waveglow):
     np.testing.assert_allclose(our_loss, ref_loss, rtol=1e-3, atol=1e-4)
 
 
+def test_waveglow_old_format_import(ref_waveglow):
+    """OLD-format checkpoints (reference waveglow/glow_old.py:30-64) split
+    res_skip into per-layer res_layers/skip_layers and fuse cond per layer
+    (cond_layers.{i}); the reference ships convert_model.py:11-38 to
+    restructure them.  import_torch_waveglow accepts the old layout
+    directly — build an old-format state_dict by inverse-splitting the
+    modern one and require the imported pytree to match exactly."""
+    from tacotron2_subword_tpu.models import waveglow as WG
+    cfg = _wg_cfg()
+    sd_new = {k: v.detach().numpy()
+              for k, v in ref_waveglow.state_dict().items()}
+
+    C, L = cfg.wn_channels, cfg.wn_layers
+    sd_old = {}
+    for key, val in sd_new.items():
+        parts = key.split(".")
+        if len(parts) >= 3 and parts[0] == "WN":
+            if parts[2] == "cond_layer":
+                # fused [2CL, ...] rows → per-layer cond_layers.{i}
+                for i in range(L):
+                    sd_old[f"WN.{parts[1]}.cond_layers.{i}.{parts[3]}"] = \
+                        val[i * 2 * C:(i + 1) * 2 * C]
+                continue
+            if parts[2] == "res_skip_layers":
+                i = int(parts[3])
+                leaf = parts[4]
+                if i < L - 1:
+                    sd_old[f"WN.{parts[1]}.res_layers.{i}.{leaf}"] = val[:C]
+                    sd_old[f"WN.{parts[1]}.skip_layers.{i}.{leaf}"] = val[C:]
+                else:
+                    sd_old[f"WN.{parts[1]}.skip_layers.{i}.{leaf}"] = val
+                continue
+        sd_old[key] = val
+
+    p_new = WG.import_torch_waveglow(sd_new, cfg)
+    p_old = WG.import_torch_waveglow(sd_old, cfg)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=0),
+        p_new, p_old)
+
+    # and the old-format import must drive the same synthesis
+    rng = np.random.RandomState(5)
+    mel = jnp.asarray(rng.randn(1, 8, 8).astype(np.float32))
+    y_new = WG.infer(p_new, cfg, mel, sigma=0.6, key=jax.random.PRNGKey(3))
+    y_old = WG.infer(p_old, cfg, mel, sigma=0.6, key=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_old), atol=0)
+
+
+def test_waveglow_vendored_glow_parity():
+    """Forward parity against the VENDORED waveglow/glow.py (the per-layer
+    cond_layers variant the reference trains with, waveglow/glow.py:
+    119-176) — not just the synthetic re-split of the modern layout."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_glow_vendored", f"{REF}/waveglow/glow.py")
+    ref_glow = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_glow)
+
+    from tacotron2_subword_tpu.models import waveglow as WG
+    cfg = _wg_cfg()
+    torch.manual_seed(1)
+    wg = ref_glow.WaveGlow(
+        n_mel_channels=8, n_flows=4, n_group=4, n_early_every=2,
+        n_early_size=2,
+        WN_config=dict(n_layers=2, n_channels=16, kernel_size=3)).eval()
+    sd = {k: v.detach().numpy() for k, v in wg.state_dict().items()}
+    assert any(".cond_layers." in k for k in sd), "vendored layout expected"
+    params = WG.import_torch_waveglow(sd, cfg)
+
+    rng = np.random.RandomState(6)
+    F = 8
+    mel = rng.randn(2, 8, F).astype(np.float32)
+    audio = rng.randn(2, F * 256).astype(np.float32)
+    with torch.no_grad():
+        z_ref, log_s_ref, _ = wg(
+            (torch.from_numpy(mel), torch.from_numpy(audio)))
+    z, log_s, _ = WG.forward(params, cfg, jnp.asarray(mel),
+                             jnp.asarray(audio))
+    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), atol=1e-4,
+                               rtol=1e-4)
+    for a, b in zip(log_s, log_s_ref):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=1e-4,
+                                   rtol=1e-4)
+
+
 def test_waveglow_infer_inverts_forward():
     """infer(sigma→) must be the inverse of forward: push audio through
     forward, reconstruct from z by the reverse flow."""
@@ -265,6 +351,68 @@ def test_tflite_export_roundtrip(tmp_path):
     ref = np.asarray(HG.generator_apply(gen, h, jnp.asarray(mel)))
     assert out.shape == (1, 12 * 16)  # 4*4 upsampling
     np.testing.assert_allclose(out, ref.reshape(1, -1), atol=1e-5)
+
+
+def test_onnx_export_roundtrip(tmp_path):
+    """Export the JAX generator to ONNX (ModelProto emitted natively by
+    utils/onnx_lite — no onnx/tf2onnx in this image) and drive it through
+    models.vocoder_runtimes.load_onnx_vocoder — the reference's ONNX
+    HiFi-GAN backend (inference.py:208-223), producer + consumer.  Unlike
+    TFLite, the time axis is dynamic: two different mel lengths run
+    through the same file."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tacotron2_subword_tpu.models import hifigan as HG
+    from tacotron2_subword_tpu.models.vocoder_runtimes import \
+        load_onnx_vocoder
+    from tools.export_hifigan_onnx import export_onnx
+
+    h = HG.HifiganConfig(
+        resblock="1", upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 2, 3), (1, 2)), num_mels=8)
+    raw = HG.init_generator(jax.random.PRNGKey(0), h)
+    gen = HG.fuse_generator(raw)
+    path = str(tmp_path / "g.onnx")
+    n = export_onnx(raw, h, path)  # weight-normed input: fused inside
+    assert n > 1000
+
+    voc = load_onnx_vocoder(path)
+    for frames, seed in ((12, 0), (20, 1)):
+        mel = np.random.RandomState(seed).randn(1, 8, frames) \
+            .astype(np.float32)
+        out = voc(mel)
+        ref = np.asarray(HG.generator_apply(gen, h, jnp.asarray(mel)))
+        assert out.shape == (1, frames * 16)  # 4*4 upsampling
+        np.testing.assert_allclose(out, ref.reshape(1, -1), atol=2e-5)
+
+
+def test_onnx_resblock2_roundtrip(tmp_path):
+    """The v3-config ResBlock2 branch (reference hifigan_model.py:64-87)
+    through the same export + numpy-executor path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tacotron2_subword_tpu.models import hifigan as HG
+    from tacotron2_subword_tpu.models.vocoder_runtimes import \
+        load_onnx_vocoder
+    from tools.export_hifigan_onnx import export_onnx
+
+    h = HG.HifiganConfig(
+        resblock="2", upsample_rates=(4,), upsample_kernel_sizes=(8,),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),), num_mels=8)
+    raw = HG.init_generator(jax.random.PRNGKey(2), h)
+    path = str(tmp_path / "g2.onnx")
+    export_onnx(raw, h, path)
+    voc = load_onnx_vocoder(path)
+    mel = np.random.RandomState(3).randn(2, 8, 10).astype(np.float32)
+    out = voc(mel)
+    gen = HG.fuse_generator(raw)
+    ref = np.asarray(HG.generator_apply(gen, h, jnp.asarray(mel)))
+    assert out.shape == (2, 10 * 4)
+    np.testing.assert_allclose(out, ref.reshape(2, -1), atol=2e-5)
 
 
 def test_load_vocoder_orbax_dir(tmp_path):
