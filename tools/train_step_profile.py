@@ -14,7 +14,6 @@ NOTE: axon compile endpoint is serialized — do not run while training.
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 import re
 import sys
@@ -27,33 +26,9 @@ sys.path.insert(0, REPO)
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 
-def parse_xplane_ops(trace_dir: str):
-    """[(op_name, total_ms, n_events)] from the device 'XLA Ops' lines of
-    the newest xplane.pb (pure-python protobuf fallback, CLAUDE.md)."""
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
-
-    paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
-                             recursive=True))
-    space = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as f:
-        space.ParseFromString(f.read())
-    agg, module_ms = {}, 0.0
-    for plane in space.planes:
-        if "TPU" not in plane.name or "Host" in plane.name:
-            continue
-        meta = plane.event_metadata
-        for line in plane.lines:
-            if "XLA Modules" in line.name:
-                module_ms += sum(ev.duration_ps / 1e9
-                                 for ev in line.events)
-            if "XLA Ops" not in line.name:
-                continue
-            for ev in line.events:
-                name = meta[ev.metadata_id].name
-                ms, n = agg.get(name, (0.0, 0))
-                agg[name] = (ms + ev.duration_ps / 1e9, n + 1)
-    return (sorted(((k, v[0], v[1]) for k, v in agg.items()),
-                   key=lambda t: -t[1]), module_ms)
+from tacotron2_subword_tpu.utils.xprof import parse_xplane_ops  # noqa: E402
+# (re-exported here for backward compatibility; implementation moved to
+# the package so bench.py shares the same device-time parse)
 
 
 CATEGORIES = (
@@ -80,14 +55,63 @@ def categorize(ops):
     return out
 
 
+def profile_infer(args):
+    """--infer mode: device op breakdown of the free-running DECODE loop
+    (B=args.batch, args.infer_steps decode steps) — the data behind the
+    fused-decoder-step verdict: how much in-loop device time is matmul
+    (already VMEM-bandwidth-bound) vs small-op overhead a Pallas megakernel
+    could shave."""
+    import jax
+
+    import bench
+
+    _cfg, make_jfn = bench._build_infer("axon", args.batch)
+    jfn = make_jfn(args.infer_steps)
+    np.asarray(jfn(jax.random.PRNGKey(1)))  # compile outside the trace
+    with tempfile.TemporaryDirectory() as d:
+        with jax.profiler.trace(d):
+            np.asarray(jfn(jax.random.PRNGKey(2)))
+        ops, module_ms = parse_xplane_ops(d)
+
+    total = sum(ms for _, ms, _ in ops)
+    us_step = total * 1e3 / args.infer_steps
+    lines = [f"decode device profile — B={args.batch}, "
+             f"{args.infer_steps} free-running steps, bf16",
+             f"device total {total:.2f} ms -> {us_step:.1f} us/step "
+             f"(XLA Modules: {module_ms:.2f} ms)"]
+    lines.append("")
+    lines.append("by category (us/step, % of device):")
+    for cat, ms in sorted(categorize(ops).items(), key=lambda t: -t[1]):
+        lines.append(f"  {cat:38s} {ms * 1e3 / args.infer_steps:8.2f}  "
+                     f"{100 * ms / total:5.1f}%")
+    lines.append("")
+    lines.append("top ops (total ms, count over the whole trace):")
+    for name, ms, n in ops[:20]:
+        lines.append(f"  {ms:8.3f} ms  x{n:<6d} {name[:90]}")
+    report = "\n".join(lines)
+    print(report)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("# Decode-loop device profile\n\n```\n" + report
+                    + "\n```\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--t-out", type=int, default=128)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--softdtw", action="store_true")
+    ap.add_argument("--infer", action="store_true",
+                    help="profile the free-running decode loop instead of "
+                         "the train step")
+    ap.add_argument("--infer-steps", type=int, default=200)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+
+    if args.infer:
+        profile_infer(args)
+        return
 
     import jax
 
