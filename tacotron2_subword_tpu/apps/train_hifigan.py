@@ -118,6 +118,19 @@ def train(args) -> None:
     tx_g = optax.adam(args.lr, b1=0.8, b2=0.99)
     tx_d = optax.adam(args.lr, b1=0.8, b2=0.99)
     opt_g, opt_d = tx_g.init(gen), tx_d.init(disc)
+    start_it = 0
+    if args.resume:
+        import orbax.checkpoint as ocp
+        st = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.resume))
+        gen, disc = st["gen"], st["disc"]
+        opt_g = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(opt_g),
+            jax.tree_util.tree_leaves(st["opt_g"]))
+        opt_d = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(opt_d),
+            jax.tree_util.tree_leaves(st["opt_d"]))
+        start_it = int(st["it"])
+        print(f"resumed GAN state at iter {start_it} from {args.resume}")
 
     rep = PM.replicate_sharding(mesh)
     data = PM.batch_sharding(mesh)
@@ -160,23 +173,44 @@ def train(args) -> None:
                    donate_argnums=(0, 1, 2, 3))
 
     B = args.batch_size * n_dev
-    for it in range(1, args.iters + 1):
-        t0 = time.perf_counter()
+    curve_path = os.path.join(args.output_directory, "loss_curve.csv")
+    curve_new = not (args.resume and os.path.exists(curve_path))
+    curve = open(curve_path, "w" if curve_new else "a")
+    if curve_new:
+        curve.write("iter,d_loss,g_loss,mel_l1,s_per_it\n")
+    t0 = time.perf_counter()
+    for it in range(start_it + 1, start_it + args.iters + 1):
         mel, audio = ds.sample_batch(B)
         mel = jax.device_put(jnp.asarray(mel), data)
         audio = jax.device_put(jnp.asarray(audio), data)
         gen, disc, opt_g, opt_d, dl, gl, lmel = step(gen, disc, opt_g,
                                                      opt_d, mel, audio)
-        print(f"iter {it}: d {float(dl):.3f} g {float(gl):.3f} "
-              f"mel {float(lmel):.3f} {time.perf_counter() - t0:.2f}s/it",
-              flush=True)
+        # fetch losses only every --log-interval iters: a per-iteration
+        # float() forces a round-trip through the axon tunnel (~30 ms
+        # dispatch) and would dominate the step time
+        if it % args.log_interval == 0:
+            s_it = (time.perf_counter() - t0) / args.log_interval
+            print(f"iter {it}: d {float(dl):.3f} g {float(gl):.3f} "
+                  f"mel {float(lmel):.3f} {s_it:.2f}s/it", flush=True)
+            curve.write(f"{it},{float(dl):.4f},{float(gl):.4f},"
+                        f"{float(lmel):.4f},{s_it:.3f}\n")
+            curve.flush()
+            t0 = time.perf_counter()
         if it % args.iters_per_checkpoint == 0 and jax.process_index() == 0:
             import orbax.checkpoint as ocp
-            path = os.path.join(os.path.abspath(args.output_directory),
-                                f"g_{it:08d}")
+            out = os.path.abspath(args.output_directory)
             ocp.PyTreeCheckpointer().save(
-                path, jax.tree_util.tree_map(np.asarray, gen), force=True)
-            print(f"saved {path}")
+                os.path.join(out, f"g_{it:08d}"),
+                jax.tree_util.tree_map(np.asarray, gen), force=True)
+            # full GAN state for --resume (disc + both optimizers)
+            ocp.PyTreeCheckpointer().save(
+                os.path.join(out, f"state_{it:08d}"),
+                jax.tree_util.tree_map(
+                    np.asarray,
+                    {"gen": gen, "disc": disc, "opt_g": opt_g,
+                     "opt_d": opt_d, "it": it}), force=True)
+            print(f"saved g_{it:08d} + state_{it:08d}")
+    curve.close()
 
 
 def main():
@@ -193,6 +227,12 @@ def main():
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--iters", type=int, default=1000)
     p.add_argument("--iters-per-checkpoint", type=int, default=200)
+    p.add_argument("--log-interval", type=int, default=1,
+                   help="fetch/print losses every N iters (per-iter "
+                        "fetches cost a ~30 ms tunnel round-trip each)")
+    p.add_argument("--resume", default=None,
+                   help="state_NNNNNNNN dir from a previous run (restores "
+                        "gen+disc+optimizers+iteration)")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--seed", type=int, default=1234)
     train(p.parse_args())

@@ -52,8 +52,13 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     try:
         backend = jax.default_backend()
     except Exception:
-        return
-    if backend == "axon" or os.environ.get("JAX_PLATFORMS") == "axon":
+        backend = None
+    # Trust the RESOLVED backend when available: a process that switched
+    # itself to CPU (jax.config.update) must get the cache even though the
+    # image exports JAX_PLATFORMS=axon.  The env var is only the fallback
+    # signal when no backend has initialized yet.
+    if backend == "axon" or (backend is None
+                             and os.environ.get("JAX_PLATFORMS") == "axon"):
         return
 
     path = cache_dir or os.environ.get(
