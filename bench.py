@@ -19,11 +19,13 @@ the variance is in the artifact, not hidden).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 ``vs_baseline`` divides the headline by a SLOPE-CALIBRATED host-CPU rate
-for the same-batch workload: two step counts (8, 72), rate from the
-(t72 - t8) decode slope, which cancels the per-call encoder+dispatch
-fixed cost the round-3 advisor flagged (a single 8-step window understated
-CPU per-step cost ~2x).  Each CPU window is best-of-3.  BASELINE.json
-north star is >=5x.
+for the same-batch workload: interleaved (8, 72)-step window pairs, rate
+from each pair's (t72 - t8) decode slope (cancels the per-call
+encoder+dispatch fixed cost the round-3 advisor flagged — a single 8-step
+window understated CPU per-step cost ~2x), median over 5 pairs per probe,
+MAX over three probes spread across the bench (the VM's CPU throttles in
+multi-minute periods; the max is its unthrottled sustained speed).
+BASELINE.json north star is >=5x.
 """
 
 import json
@@ -262,25 +264,28 @@ def main():
     import subprocess
     import sys
 
-    # CPU baseline in subprocesses (backend choice is process-global).
-    # THREE probe runs, median slope: the VM's CPU speed drifts ±15% on a
-    # multi-minute timescale (throttling dips measured at ~51 vs a ~59
-    # steady state); one probe can land in a dip.  A warm-cache probe is
-    # ~30 s, so the first (possibly compile-heavy) run gets the long
-    # timeout and the rest are cheap.
+    # CPU baseline via subprocesses (backend choice is process-global).
+    # The VM's CPU speed is bimodal (~52 vs ~59 audio-sec/s sustained;
+    # multi-minute throttle periods), so THREE probe runs are SPREAD
+    # across the whole bench (start / after-train / after-vocoders) and
+    # the baseline is the MAX of their medians — the best sustained host
+    # speed, i.e. the unthrottled capability of the baseline hardware,
+    # robust to a dip swallowing consecutive probes.  A warm-cache probe
+    # is ~30 s; only the first (possibly compile-heavy) run is long.
     probe_rates, cpu = [], {}
-    for k in range(3):
+
+    def probe(timeout):
+        nonlocal cpu
         cpu_out = subprocess.run(
             [sys.executable, __file__, "--cpu-probe"],
-            capture_output=True, text=True, timeout=3600 if k == 0 else 900)
+            capture_output=True, text=True, timeout=timeout)
         try:
             cpu = json.loads(cpu_out.stdout.strip().splitlines()[-1])
             probe_rates.append(float(cpu["cpu_audio_per_s_slope"]))
         except (ValueError, IndexError, KeyError):
             pass
-    cpu_rate = (float(np.median(probe_rates)) if probe_rates
-                else float("nan"))
 
+    probe(3600)
     infer = run_infer("axon", INFER_BATCH, INFER_STEPS, INFER_REPEATS,
                       profile=True)
     tpu_rate = infer["audio_per_s_device"]
@@ -290,7 +295,10 @@ def main():
     # fwd+bwd kernel; BASELINE config 3 names soft-DTW in the train-step
     # workload) — the delta vs train8_ms is the cost of the loss term
     sdtw8_ms, sdtw8_fps = run_train(8, softdtw_loss_weight=1.0)
+    probe(900)
     voc = run_vocoders()
+    probe(900)
+    cpu_rate = float(max(probe_rates)) if probe_rates else float("nan")
     vs = tpu_rate / cpu_rate if np.isfinite(cpu_rate) else float("nan")
     print(json.dumps({
         "metric": ("mel audio-seconds synthesized/sec/chip, xprof device "
