@@ -157,15 +157,28 @@ def tacotron2_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, Any],
                 "per decoder step [B, T_out/r, T_text] but duration-expanded "
                 "align targets are per frame [B, T_out, T_text]")
         active = iteration < cfg.align_loss_max_iters
+        # The duration-expanded target lives on the PHONE axis.  The
+        # reference applies the same target to the subword-stream
+        # alignment too (loss_function.py:31,48), which only type-checks
+        # when T_sub == T_text — with real data the subword axis differs
+        # and the term is unusable as committed (part of the broken KL
+        # wiring documented above).  Repair: always train the phone
+        # stream; add the bert term only in the degenerate equal-axes
+        # case the reference's code implies.
+        bert_ok = (outputs["alignments_bert"].shape
+                   == batch["align_target"].shape)
         if cfg.align_loss == "L2":
             a = jnp.mean((outputs["alignments"] - batch["align_target"]) ** 2)
-            ab = jnp.mean((outputs["alignments_bert"]
-                           - batch["align_target"]) ** 2)
+            ab = (jnp.mean((outputs["alignments_bert"]
+                            - batch["align_target"]) ** 2)
+                  if bert_ok else jnp.float32(0.0))
         elif cfg.align_loss == "KL":
             a = _masked_kl(outputs["alignments"], batch["align_target"],
                            batch["text_lengths"], batch["output_lengths"])
-            ab = _masked_kl(outputs["alignments_bert"], batch["align_target"],
-                            batch["sub_lengths"], batch["output_lengths"])
+            ab = (_masked_kl(outputs["alignments_bert"],
+                             batch["align_target"],
+                             batch["sub_lengths"], batch["output_lengths"])
+                  if bert_ok else jnp.float32(0.0))
         else:
             raise ValueError(f"unknown align_loss {cfg.align_loss!r}")
         a = jnp.where(active, a, 0.0)

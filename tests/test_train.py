@@ -147,14 +147,37 @@ def test_align_loss_l2_and_kl_activate_and_expire():
     assert float(losses_l2["align"]) > 0.0
 
 
+def test_align_loss_with_unequal_subword_axis():
+    """Real data has T_sub != T_text; the duration target lives on the
+    phone axis, so the phone-stream term must train and the bert-stream
+    term must drop to 0 (the reference applies the phone target to the
+    subword alignment too — loss_function.py:31,48 — which only
+    type-checks when the axes coincide; round-4 repair)."""
+    state, cfg, batch = _mk_unequal()
+    losses = T.tacotron2_loss(_forward(state, cfg, batch), batch, cfg,
+                              iteration=jnp.int32(0))
+    assert float(losses["align"]) != 0.0
+    assert float(losses["align_bert"]) == 0.0
+    assert np.isfinite(float(losses["total"]))
+
+
+def _mk_unequal():
+    cfg = SMALL.replace(align_loss="KL", align_loss_max_iters=10)
+    state, _tx = T.create_train_state(jax.random.PRNGKey(0), cfg)
+    batch = full_batch(cfg, T_out=8)
+    B, T_out = batch["mels"].shape[0], 8
+    T_text = batch["text"].shape[1]
+    assert batch["sub"].shape[1] != T_text, "fixture must use unequal axes"
+    tgt = np.zeros((B, T_out, T_text), np.float32)
+    tgt[:, :, 0] = 1.0
+    batch["align_target"] = jnp.asarray(tgt)
+    return state, cfg, batch
+
+
 def _forward(state, cfg, batch):
     from tacotron2_subword_tpu.models import tacotron2 as M
     out, _ = M.forward(state.params, state.bn_state, cfg, batch,
                        training=False, rng=jax.random.PRNGKey(0))
-    # L2 align loss compares [B,T_out,T_text] to target of same shape; for
-    # the bert stream the reference uses the same (phoneme) target — shapes
-    # differ in general.  Use the phone-stream shape for the test target.
-    out["alignments_bert"] = out["alignments"]
     return out
 
 
