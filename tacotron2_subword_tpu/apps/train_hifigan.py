@@ -69,7 +69,12 @@ class SegmentSampler:
         for i in range(batch_size):
             wav, mel = self.entries[self.rng.randint(len(self.entries))]
             if mel is not None:
-                f0 = self.rng.randint(0, mel.shape[1] - self.frames + 1)
+                # the mel may run one frame past the audio (the T//hop+1
+                # framing convention); clamp the offset so BOTH the mel
+                # window and the audio window fit
+                max_f0 = min(mel.shape[1] - self.frames,
+                             (len(wav) - self.segment) // self.hop)
+                f0 = self.rng.randint(0, max_f0 + 1)
                 mels.append(mel[:, f0:f0 + self.frames])
                 audio[i] = wav[f0 * self.hop:f0 * self.hop + self.segment]
             else:

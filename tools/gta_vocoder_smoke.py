@@ -49,6 +49,16 @@ def main():
     ap.add_argument("--report", default=None,
                     help="directory to write gta_hifigan_finetune.md + the "
                          "fine-tuned-vocoder wav into")
+    ap.add_argument("--hifigan-batch", type=int, default=2)
+    ap.add_argument("--ckpt-every", type=int, default=0,
+                    help="checkpoint interval for the fine-tune (default: "
+                         "once at the end)")
+    ap.add_argument("--log-interval", type=int, default=1)
+    ap.add_argument("--resume", default=None,
+                    help="pass through to train_hifigan --resume")
+    ap.add_argument("--skip-wavs", action="store_true",
+                    help="reuse {work}/wavs + gta_mels from a previous run "
+                         "(steps 1-2 skipped)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -76,48 +86,56 @@ def main():
     from scipy.io.wavfile import write as wav_write
     rows = []
     n_train = args.n - args.eval_n
-    # bucket the mel length before the jitted Griffin-Lim: each distinct
-    # length would remote-compile a fresh program (minutes per shape on the
-    # serialized axon endpoint); slice the wav back to the true length
-    inv = jax.jit(lambda m: S.inv_mel_spec(m))
-    MEL_FLOOR = float(np.log(1e-5))
-    for i in range(args.n):
-        dur_path = os.path.join(base, "durations", f"{i}.npy")
-        mel = np.load(os.path.join(base, "mels",
-                                   f"ljspeech-mel-{i + 1:05d}.npy"))
-        T = mel.shape[1]
-        pad_f = -(-T // 64) * 64
-        mel_p = np.pad(mel, ((0, 0), (0, pad_f - T)),
-                       constant_values=MEL_FLOOR)
-        wav = np.asarray(inv(jnp.asarray(mel_p[None])))[0][: T * 256]
-        wav = wav / max(1e-6, np.abs(wav).max()) * 0.8
-        out_dir = wav_dir if i < n_train else eval_wav_dir
-        wav_path = os.path.join(out_dir, f"placeholder_{i}.wav")
-        wav_write(wav_path, 22050, (wav * 32767).astype(np.int16))
-        rows.append(f"{wav_path}|{dur_path}")
     list_path = os.path.join(args.work, "list.txt")
-    with open(list_path, "w") as f:
-        f.write("\n".join(rows) + "\n")
-    print(f"[1/4] wrote {args.n} griffin-lim wavs "
-          f"({args.eval_n} held out)", flush=True)
+    if args.skip_wavs:
+        print("[1-2/4] --skip-wavs: reusing existing wavs + GTA mels",
+              flush=True)
+    else:
+        # bucket the mel length before the jitted Griffin-Lim: each distinct
+        # length would remote-compile a fresh program (minutes per shape on the
+        # serialized axon endpoint); slice the wav back to the true length
+        inv = jax.jit(lambda m: S.inv_mel_spec(m))
+        MEL_FLOOR = float(np.log(1e-5))
+        for i in range(args.n):
+            dur_path = os.path.join(base, "durations", f"{i}.npy")
+            mel = np.load(os.path.join(base, "mels",
+                                       f"ljspeech-mel-{i + 1:05d}.npy"))
+            T = mel.shape[1]
+            pad_f = -(-T // 64) * 64
+            mel_p = np.pad(mel, ((0, 0), (0, pad_f - T)),
+                           constant_values=MEL_FLOOR)
+            wav = np.asarray(inv(jnp.asarray(mel_p[None])))[0][: T * 256]
+            wav = wav / max(1e-6, np.abs(wav).max()) * 0.8
+            out_dir = wav_dir if i < n_train else eval_wav_dir
+            wav_path = os.path.join(out_dir, f"placeholder_{i}.wav")
+            wav_write(wav_path, 22050, (wav * 32767).astype(np.int16))
+            rows.append(f"{wav_path}|{dur_path}")
+        with open(list_path, "w") as f:
+            f.write("\n".join(rows) + "\n")
+        print(f"[1/4] wrote {args.n} griffin-lim wavs "
+              f"({args.eval_n} held out)", flush=True)
 
-    # ---- 2. GTA extraction (subprocess keeps backend choice clean) -----
-    cmd = [sys.executable, "-m", "tacotron2_subword_tpu.apps.gta",
-           list_path, args.checkpoint, gta_dir,
-           "--mel-dir", os.path.join(base, "mels"),
-           "--sub-dir", os.path.join(base, "sub"),
-           "--cls-dir", os.path.join(base, "cls"),
-           "--batch-size", "8"]
-    subprocess.run(cmd, check=True, env=env, cwd=REPO)
-    n_gta = len([f for f in os.listdir(gta_dir) if f.endswith(".npy")])
-    print(f"[2/4] GTA mels extracted: {n_gta}", flush=True)
-    assert n_gta >= args.n
+        # ---- 2. GTA extraction (subprocess keeps backend choice clean) -----
+        cmd = [sys.executable, "-m", "tacotron2_subword_tpu.apps.gta",
+               list_path, args.checkpoint, gta_dir,
+               "--mel-dir", os.path.join(base, "mels"),
+               "--sub-dir", os.path.join(base, "sub"),
+               "--cls-dir", os.path.join(base, "cls"),
+               "--batch-size", "8"]
+        subprocess.run(cmd, check=True, env=env, cwd=REPO)
+        n_gta = len([f for f in os.listdir(gta_dir) if f.endswith(".npy")])
+        print(f"[2/4] GTA mels extracted: {n_gta}", flush=True)
+        assert n_gta >= args.n
 
     # ---- 3. HiFi-GAN fine-tune on (GTA mel, audio) ---------------------
     cmd = [sys.executable, "-m", "tacotron2_subword_tpu.apps.train_hifigan",
            "-o", voc_dir, "--wav-dir", wav_dir, "--mel-dir", gta_dir,
-           "--batch-size", "2", "--iters", str(args.iters),
-           "--iters-per-checkpoint", str(args.iters)]
+           "--batch-size", str(args.hifigan_batch),
+           "--iters", str(args.iters),
+           "--log-interval", str(args.log_interval),
+           "--iters-per-checkpoint", str(args.ckpt_every or args.iters)]
+    if args.resume:
+        cmd += ["--resume", args.resume]
     subprocess.run(cmd, check=True, env=env, cwd=REPO)
     ckpts = sorted(f for f in os.listdir(voc_dir) if f.startswith("g_"))
     assert ckpts, "no fine-tuned generator checkpoint written"
@@ -168,6 +186,37 @@ def main():
           f"fine-tuned {l1_ft:.4f} ({args.iters} iters, "
           f"{len(eval_ids)} utts)", flush=True)
 
+    # wav-level MCD on held-out GTA mels: fine-tuned HiFi-GAN vs the
+    # Griffin-Lim floor, both against the corpus ground-truth audio
+    # (the reference's acceptance metric, evaluation.py:70-104)
+    from scipy.io.wavfile import read as wav_read
+    from tacotron2_subword_tpu.eval import mcd_between_wavs
+    inv = jax.jit(lambda m: S.inv_mel_spec(m))
+
+    def gl_b(gta: np.ndarray) -> np.ndarray:
+        T = gta.shape[1]
+        pad_f = -(-T // 64) * 64
+        m = np.pad(gta, ((0, 0), (0, pad_f - T)), constant_values=MEL_FLOOR)
+        return np.asarray(inv(jnp.asarray(m[None])))[0][: T * 256]
+
+    mcd_hifi, mcd_gl = [], []
+    for i in eval_ids:
+        gta = np.load(os.path.join(gta_dir, f"placeholder_{i}.npy"))
+        _, gt16 = wav_read(os.path.join(eval_wav_dir,
+                                        f"placeholder_{i}.wav"))
+        gt = gt16.astype(np.float32) / 32768.0
+        m1 = mcd_between_wavs(np.clip(vocode_b(gen_ft, gta), -1, 1), gt,
+                              fs=22050)
+        m2 = mcd_between_wavs(np.clip(gl_b(gta), -1, 1), gt, fs=22050)
+        if m1 is not None and m2 is not None:
+            mcd_hifi.append(m1)
+            mcd_gl.append(m2)
+    mcd_hifi_m = float(np.mean(mcd_hifi)) if mcd_hifi else float("nan")
+    mcd_gl_m = float(np.mean(mcd_gl)) if mcd_gl else float("nan")
+    print(f"held-out wav-MCD vs ground truth: fine-tuned HiFi-GAN "
+          f"{mcd_hifi_m:.3f} vs Griffin-Lim {mcd_gl_m:.3f} "
+          f"({len(mcd_hifi)} utts)", flush=True)
+
     mel = np.load(os.path.join(gta_dir, f"placeholder_{eval_ids[0]}.npy"))
     y = vocode_b(gen_ft, mel)
     assert np.isfinite(y).all()
@@ -196,6 +245,14 @@ def main():
                 "|---|---|\n"
                 f"| random init | {l1_init:.4f} |\n"
                 f"| fine-tuned ({args.iters} iters) | {l1_ft:.4f} |\n\n"
+                "Held-out wav-MCD vs corpus ground-truth audio "
+                "(CheapTrick-style MCEP, 16 kHz eval):\n\n"
+                "| vocoder | wav-MCD |\n"
+                "|---|---|\n"
+                f"| fine-tuned HiFi-GAN | {mcd_hifi_m:.3f} |\n"
+                f"| Griffin-Lim (60 iters) | {mcd_gl_m:.3f} |\n\n"
+                "G/D loss balance + mel-L1 curves: "
+                f"`{os.path.join(voc_dir, 'loss_curve.csv')}`.\n\n"
                 "`vocoded_gta_hifigan.wav` is a held-out GTA mel vocoded "
                 "by the fine-tuned generator.\n")
         print(f"report -> {args.report}/gta_hifigan_finetune.md")
