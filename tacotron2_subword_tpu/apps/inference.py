@@ -85,7 +85,24 @@ def load_acoustic_model(checkpoint: str, cfg: TacotronConfig):
 def load_vocoder(hifigan_checkpoint: Optional[str],
                  hifigan_config: Optional[str]):
     """Returns (vocode_fn mel[B,80,T]→wav[B,T'], name).  Falls back to
-    Griffin-Lim (no checkpoint needed, BASELINE config 1)."""
+    Griffin-Lim (no checkpoint needed, BASELINE config 1).
+
+    Accepts four checkpoint forms, mirroring the reference's vocoder
+    backends: orbax dir (apps/train_hifigan), torch g_???????? file,
+    ``.onnx`` (reference inference.py:208-223; onnxruntime when present,
+    else the native numpy executor) and ``.tflite`` (reference
+    best_checkpoint.py:230-260)."""
+    if hifigan_checkpoint and hifigan_checkpoint.endswith(".onnx"):
+        from tacotron2_subword_tpu.models.vocoder_runtimes import \
+            load_onnx_vocoder
+        run = load_onnx_vocoder(hifigan_checkpoint)
+        return (lambda mel: run(np.asarray(mel, np.float32))), "hifigan-onnx"
+    if hifigan_checkpoint and hifigan_checkpoint.endswith(".tflite"):
+        from tacotron2_subword_tpu.models.vocoder_runtimes import \
+            load_tflite_vocoder
+        run = load_tflite_vocoder(hifigan_checkpoint)
+        return (lambda mel: run(np.asarray(mel, np.float32))), \
+            "hifigan-tflite"
     if hifigan_checkpoint:
         h = (HG.HifiganConfig.from_json(hifigan_config)
              if hifigan_config else HG.HifiganConfig())

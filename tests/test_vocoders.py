@@ -415,6 +415,32 @@ def test_onnx_resblock2_roundtrip(tmp_path):
     np.testing.assert_allclose(out, ref.reshape(2, -1), atol=2e-5)
 
 
+def test_load_vocoder_onnx_backend(tmp_path):
+    """apps.inference.load_vocoder dispatches .onnx checkpoints to the
+    ONNX runtime path (the reference's onnxruntime backend,
+    inference.py:208-223) and serves it through vocode_bucketed."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tacotron2_subword_tpu.apps.inference import (load_vocoder,
+                                                      vocode_bucketed)
+    from tacotron2_subword_tpu.models import hifigan as HG
+    from tools.export_hifigan_onnx import export_onnx
+
+    h = HG.HifiganConfig(
+        resblock="1", upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),), num_mels=80)
+    raw = HG.init_generator(jax.random.PRNGKey(4), h)
+    path = str(tmp_path / "v.onnx")
+    export_onnx(raw, h, path)
+    voc, name = load_vocoder(path, None)
+    assert name == "hifigan-onnx"
+    wav = vocode_bucketed(voc, jnp.full((1, 80, 9), -5.0), 9, hop=16,
+                          bucket=16)
+    assert wav.shape == (1, 9 * 16) and np.isfinite(wav).all()
+
+
 def test_load_vocoder_orbax_dir(tmp_path):
     """apps.inference.load_vocoder accepts an orbax generator dir from
     apps/train_hifigan (e.g. a GTA fine-tuned g_NNNNNNNN) and serves it
