@@ -87,6 +87,7 @@ def main():
     rows = []
     n_train = args.n - args.eval_n
     list_path = os.path.join(args.work, "list.txt")
+    MEL_FLOOR = float(np.log(1e-5))
     if args.skip_wavs:
         print("[1-2/4] --skip-wavs: reusing existing wavs + GTA mels",
               flush=True)
@@ -95,7 +96,6 @@ def main():
         # length would remote-compile a fresh program (minutes per shape on the
         # serialized axon endpoint); slice the wav back to the true length
         inv = jax.jit(lambda m: S.inv_mel_spec(m))
-        MEL_FLOOR = float(np.log(1e-5))
         for i in range(args.n):
             dur_path = os.path.join(base, "durations", f"{i}.npy")
             mel = np.load(os.path.join(base, "mels",
@@ -139,6 +139,7 @@ def main():
     subprocess.run(cmd, check=True, env=env, cwd=REPO)
     ckpts = sorted(f for f in os.listdir(voc_dir) if f.startswith("g_"))
     assert ckpts, "no fine-tuned generator checkpoint written"
+    ft_iters = int(ckpts[-1].split("_")[1])
     print(f"[3/4] fine-tuned generator: {ckpts[-1]}", flush=True)
 
     # ---- 4. held-out mel-L1 before/after + vocode ----------------------
@@ -167,23 +168,38 @@ def main():
 
     from tacotron2_subword_tpu.apps.best_checkpoint import mel_bucketed
 
-    def melL1(gen_params, idx: int) -> float:
-        """|mel(G(gta_mel)) - gt_mel| on a held-out utterance — the
-        standard HiFi-GAN validation metric, target = the ground-truth mel
-        the training audio was rendered from."""
+    from scipy.io.wavfile import read as wav_read
+
+    def melL1(gen_params, idx: int):
+        """Two held-out mel-L1s for G(gta_mel): vs the corpus ground-truth
+        MEL, and vs mel(gt_wav) — the mel of the Griffin-Lim-rendered,
+        amplitude-normalized AUDIO the fine-tune actually trains against
+        (GL phase noise + the 0.8/max rescale shift the audio's mel away
+        from the corpus mel, so the first metric carries a floor no
+        vocoder can pass)."""
         gta = np.load(os.path.join(gta_dir, f"placeholder_{idx}.npy"))
         gt = np.load(os.path.join(base, "mels",
                                   f"ljspeech-mel-{idx + 1:05d}.npy"))
+        _, gw = wav_read(os.path.join(eval_wav_dir,
+                                      f"placeholder_{idx}.wav"))
+        gt_wav_mel = mel_bucketed(mel_fn, gw.astype(np.float32) / 32768.0)
         y = vocode_b(gen_params, gta)
         m = mel_bucketed(mel_fn, np.clip(y, -1, 1))
         n = min(m.shape[-1], gt.shape[-1])
-        return float(np.mean(np.abs(m[:, :n] - gt[:, :n])))
+        n2 = min(m.shape[-1], gt_wav_mel.shape[-1])
+        return (float(np.mean(np.abs(m[:, :n] - gt[:, :n]))),
+                float(np.mean(np.abs(m[:, :n2] - gt_wav_mel[:, :n2]))))
 
     eval_ids = list(range(n_train, args.n))
-    l1_init = float(np.mean([melL1(gen_init, i) for i in eval_ids]))
-    l1_ft = float(np.mean([melL1(gen_ft, i) for i in eval_ids]))
-    print(f"[4/4] held-out mel-L1: init {l1_init:.4f} -> "
-          f"fine-tuned {l1_ft:.4f} ({args.iters} iters, "
+    init_pairs = [melL1(gen_init, i) for i in eval_ids]
+    ft_pairs = [melL1(gen_ft, i) for i in eval_ids]
+    l1_init, l1_init_w = (float(np.mean([p[j] for p in init_pairs]))
+                          for j in (0, 1))
+    l1_ft, l1_ft_w = (float(np.mean([p[j] for p in ft_pairs]))
+                      for j in (0, 1))
+    print(f"[4/4] held-out mel-L1 vs gt_mel: init {l1_init:.4f} -> "
+          f"fine-tuned {l1_ft:.4f}; vs mel(gt_wav): init {l1_init_w:.4f} "
+          f"-> fine-tuned {l1_ft_w:.4f} ({ft_iters} iters, "
           f"{len(eval_ids)} utts)", flush=True)
 
     # wav-level MCD on held-out GTA mels: fine-tuned HiFi-GAN vs the
@@ -197,7 +213,10 @@ def main():
         T = gta.shape[1]
         pad_f = -(-T // 64) * 64
         m = np.pad(gta, ((0, 0), (0, pad_f - T)), constant_values=MEL_FLOOR)
-        return np.asarray(inv(jnp.asarray(m[None])))[0][: T * 256]
+        y = np.asarray(inv(jnp.asarray(m[None])))[0][: T * 256]
+        # same 0.8-peak normalization as the ground-truth renders, so the
+        # MCD energy coefficient sees no scale mismatch
+        return y / max(1e-6, np.abs(y).max()) * 0.8
 
     mcd_hifi, mcd_gl = [], []
     for i in eval_ids:
@@ -238,19 +257,29 @@ def main():
                 "workflow)\n\n"
                 f"Acoustic checkpoint: `{args.checkpoint}`; "
                 f"{n_train} train / {len(eval_ids)} held-out utterances; "
-                f"{args.iters} GAN fine-tune iters (MPD+MSD+feature-"
+                f"{ft_iters} GAN fine-tune iters (MPD+MSD+feature-"
                 "matching+45x mel-L1, apps/train_hifigan.py), GTA mels "
                 "from apps/gta.py.\n\n"
-                "| generator | held-out mel-L1 (|mel(G(gta)) - gt_mel|) |\n"
-                "|---|---|\n"
-                f"| random init | {l1_init:.4f} |\n"
-                f"| fine-tuned ({args.iters} iters) | {l1_ft:.4f} |\n\n"
+                "| generator | mel-L1 vs gt_mel | mel-L1 vs mel(gt_wav) "
+                "(training target) |\n"
+                "|---|---|---|\n"
+                f"| random init | {l1_init:.4f} | {l1_init_w:.4f} |\n"
+                f"| fine-tuned ({ft_iters} iters) | {l1_ft:.4f} | "
+                f"{l1_ft_w:.4f} |\n\n"
+                "(the gt_mel column carries a floor no vocoder can pass: "
+                "the training audio is a Griffin-Lim render normalized to "
+                "0.8 peak, whose own mel differs from gt_mel by phase "
+                "noise + a constant log-amplitude shift)\n\n"
                 "Held-out wav-MCD vs corpus ground-truth audio "
                 "(CheapTrick-style MCEP, 16 kHz eval):\n\n"
                 "| vocoder | wav-MCD |\n"
                 "|---|---|\n"
                 f"| fine-tuned HiFi-GAN | {mcd_hifi_m:.3f} |\n"
                 f"| Griffin-Lim (60 iters) | {mcd_gl_m:.3f} |\n\n"
+                "(caveat: the corpus 'ground-truth' audio is itself a "
+                "Griffin-Lim render — the GL row shares its artifact "
+                "family with the target, an advantage no neural vocoder "
+                "gets on this synthetic corpus)\n\n"
                 "G/D loss balance + mel-L1 curves: "
                 f"`{os.path.join(voc_dir, 'loss_curve.csv')}`.\n\n"
                 "`vocoded_gta_hifigan.wav` is a held-out GTA mel vocoded "
