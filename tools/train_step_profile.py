@@ -161,8 +161,11 @@ def main():
     per_step = total / args.steps
     lines = [f"train-step device profile — B={B}, T_out={t_out}, bf16, "
              f"{args.steps} steps, softdtw={args.softdtw}",
-             f"device total {total:.2f} ms -> {per_step:.2f} ms/step "
-             f"(XLA Modules line: {module_ms / args.steps:.2f} ms/step)"]
+             f"XLA Modules span (honest wall-on-device): "
+             f"{module_ms / args.steps:.2f} ms/step",
+             f"op-duration sum {total:.2f} ms -> {per_step:.2f} ms/step "
+             "(counts OVERLAPPED async slice/copy-starts — use for "
+             "relative category weights, not absolute time)"]
     lines.append("")
     lines.append("by category (ms/step, % of device):")
     for cat, ms in sorted(categorize(ops).items(), key=lambda t: -t[1]):
