@@ -42,6 +42,7 @@ class SegmentSampler:
                  hop: int = 256, segment: int = SEGMENT, seed: int = 0):
         from scipy.io.wavfile import read
         self.entries = []
+        n_short = 0
         for p in wav_paths:
             _, data = read(p)
             wav = np.clip(data.astype(np.float32) / 32768.0, -1, 1)
@@ -54,7 +55,15 @@ class SegmentSampler:
                     os.path.splitext(os.path.basename(p))[0] + ".npy")
                 if os.path.exists(mp):
                     mel = np.load(mp)
+                    # a mel shorter than one segment window would make
+                    # sample_batch's randint(low >= high) raise mid-training
+                    if mel.shape[1] < segment // hop:
+                        n_short += 1
+                        continue
             self.entries.append((wav, mel))
+        if n_short:
+            print(f"SegmentSampler: skipped {n_short} clips whose mel is "
+                  f"shorter than {segment // hop} frames")
         self.hop = hop
         self.segment = segment
         self.frames = segment // hop
@@ -103,6 +112,20 @@ class SyntheticSegments:
     sample_batch = SegmentSampler.sample_batch
 
 
+def restore_gan_state(path: str, gen, disc, opt_g, opt_d):
+    """Restore a ``state_NNNNNNNN`` dir against freshly-initialized
+    templates so structure/type mismatches (e.g. an optax version changing
+    optimizer-state fields or their ordering) fail loudly instead of
+    leaves silently landing in the wrong slots."""
+    import orbax.checkpoint as ocp
+    template = {"gen": gen, "disc": disc, "opt_g": opt_g,
+                "opt_d": opt_d, "it": 0}
+    st = ocp.PyTreeCheckpointer().restore(os.path.abspath(path),
+                                          item=template)
+    return (st["gen"], st["disc"], st["opt_g"], st["opt_d"],
+            int(st["it"]))
+
+
 def train(args) -> None:
     h = (HG.HifiganConfig.from_json(args.config) if args.config
          else HG.HifiganConfig())
@@ -125,16 +148,8 @@ def train(args) -> None:
     opt_g, opt_d = tx_g.init(gen), tx_d.init(disc)
     start_it = 0
     if args.resume:
-        import orbax.checkpoint as ocp
-        st = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.resume))
-        gen, disc = st["gen"], st["disc"]
-        opt_g = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(opt_g),
-            jax.tree_util.tree_leaves(st["opt_g"]))
-        opt_d = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(opt_d),
-            jax.tree_util.tree_leaves(st["opt_d"]))
-        start_it = int(st["it"])
+        gen, disc, opt_g, opt_d, start_it = restore_gan_state(
+            args.resume, gen, disc, opt_g, opt_d)
         print(f"resumed GAN state at iter {start_it} from {args.resume}")
 
     rep = PM.replicate_sharding(mesh)

@@ -361,6 +361,15 @@ def run_model(decoded, feeds: Dict[str, np.ndarray]) -> List[np.ndarray]:
         elif n.op_type == "ConvTranspose":
             x, w = env[n.inputs[0]], env[n.inputs[1]]
             b = env[n.inputs[2]] if len(n.inputs) > 2 else None
+            # the executor implements group=1 / dilation=1 / no
+            # output_padding only — reject anything else loudly rather
+            # than produce silently wrong audio on a foreign file
+            if int(a.get("group", 1)) != 1 \
+                    or list(a.get("dilations", [1])) != [1] \
+                    or any(int(v) for v in a.get("output_padding", [])):
+                raise NotImplementedError(
+                    "ConvTranspose with group/dilations/output_padding "
+                    f"attrs is not supported (got {a})")
             y = _np_convt1d(x, w, b, list(a.get("pads", [0, 0])),
                             list(a.get("strides", [1]))[0])
         elif n.op_type == "LeakyRelu":

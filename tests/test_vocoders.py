@@ -476,3 +476,47 @@ def test_load_vocoder_orbax_dir(tmp_path):
     ref = np.asarray(HG.generator_apply(gen, h, mel))[:, 0, :]
     assert out.shape == (1, 12 * 16)
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_hifigan_gan_state_resume_roundtrip(tmp_path):
+    """apps.train_hifigan --resume must restore gen/disc/optimizer states
+    against templates: exact roundtrip, and a loud failure on a structure
+    mismatch (not silently misplaced leaves)."""
+    import optax
+    import orbax.checkpoint as ocp
+    from tacotron2_subword_tpu.apps.train_hifigan import restore_gan_state
+    from tacotron2_subword_tpu.models import hifigan as HG
+
+    h = _jax_h()
+    kg, kd = jax.random.split(jax.random.PRNGKey(7))
+    gen = HG.init_generator(kg, h)
+    disc = HG.init_discriminators(kd)
+    tx = optax.adam(2e-4, b1=0.8, b2=0.99)
+    opt_g, opt_d = tx.init(gen), tx.init(disc)
+    # make the two optimizer states distinguishable (mu/nu asymmetric) so
+    # a slot swap could not pass the exact-equality check below
+    opt_g = jax.tree_util.tree_map(
+        lambda x: x + 1.0 if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        opt_g)
+    st = {"gen": gen, "disc": disc, "opt_g": opt_g, "opt_d": opt_d,
+          "it": 1234}
+    path = str(tmp_path / "state_00001234")
+    ocp.PyTreeCheckpointer().save(
+        path, jax.tree_util.tree_map(np.asarray, st))
+
+    g2 = HG.init_generator(jax.random.PRNGKey(8), h)
+    d2 = HG.init_discriminators(jax.random.PRNGKey(9))
+    og2, od2 = tx.init(g2), tx.init(d2)
+    rg, rd, rog, rod, it = restore_gan_state(path, g2, d2, og2, od2)
+    assert it == 1234
+    for a, b in ((rg, gen), (rd, disc), (rog, opt_g), (rod, opt_d)):
+        ja, jb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+        assert len(ja) == len(jb)
+        for x, y in zip(ja, jb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # structure mismatch (different optimizer -> different state pytree)
+    # must raise, not silently fill wrong slots
+    tx_sgd = optax.sgd(1e-3, momentum=0.9)
+    with pytest.raises(Exception):
+        restore_gan_state(path, g2, d2, tx_sgd.init(g2), tx_sgd.init(d2))
