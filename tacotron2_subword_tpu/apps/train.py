@@ -34,7 +34,7 @@ import numpy as np
 from tacotron2_subword_tpu.config import TacotronConfig, create_config
 from tacotron2_subword_tpu import train_lib as T
 from tacotron2_subword_tpu.data import BertTacotron2Dataset, BucketedLoader
-from tacotron2_subword_tpu.data.dataset import load_filepaths
+from tacotron2_subword_tpu.data.dataset import PrefetchLoader, load_filepaths
 from tacotron2_subword_tpu.parallel import mesh as PM
 from tacotron2_subword_tpu.utils import checkpoint as CK
 from tacotron2_subword_tpu.utils.logging_utils import Tacotron2Logger
@@ -244,15 +244,24 @@ def train(args) -> None:
         executables = aot_warmup(step_fn, state, cfg, plan, global_batch,
                                  wkey)
 
+    def stage(batch):
+        """Producer-thread work: pad-batch → device transfer.  Returns the
+        bucket key alongside the on-device batch (shapes are identical)."""
+        bucket = (batch["text"].shape[1], batch["sub"].shape[1],
+                  batch["mels"].shape[2])
+        return bucket, device_batch(batch, mesh)
+
+    def staged(loader):
+        if args.prefetch > 0:
+            return PrefetchLoader(loader, depth=args.prefetch, stage=stage)
+        return map(stage, iter(loader))
+
     for epoch in range(cfg.epochs):
-        for batch in train_loader:
+        for bucket, db in staged(train_loader):
             t0 = time.perf_counter()
             rng, step_key = jax.random.split(rng)
             step_key = replicate_global(step_key, mesh)
-            db = device_batch(batch, mesh)
             profiler.step(iteration)
-            bucket = (batch["text"].shape[1], batch["sub"].shape[1],
-                      batch["mels"].shape[2])
             state, metrics = select_step_fn(
                 executables, bucket, step_fn, missed_buckets)(
                 state, db, step_key)
@@ -330,6 +339,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "before step 1 (bounds mid-training compile stalls)")
     p.add_argument("--max-iters", type=int, default=0)
     p.add_argument("--log-interval", type=int, default=1)
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="background-prefetch depth for the input pipeline "
+                        "(npy load + pad + device transfer overlap the "
+                        "device step; 0 disables — the reference's "
+                        "n_workers DataLoader capability, train.py:234-242)")
     return p
 
 

@@ -25,7 +25,9 @@ from __future__ import annotations
 
 import bisect
 import os
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -266,3 +268,66 @@ class BucketedLoader:
         k = self.batch_size // self.num_shards
         lo = self.shard_index * k
         return {key: v[lo:lo + k] for key, v in b.items()}
+
+
+class PrefetchLoader:
+    """Background-thread prefetch over any batch iterable, with an optional
+    staging function that runs IN the producer thread (e.g. the
+    host→device transfer).
+
+    This is the TPU-idiomatic counterpart of the reference's multiprocess
+    DataLoader worker pool (reference train.py:234-242, hparams.py
+    n_workers): instead of N worker processes feeding pinned-memory
+    tensors to CUDA, one producer thread overlaps npy load + pad + the
+    ``jax.device_put`` enqueue with the device step that is still running
+    (JAX dispatch is async, so the train loop's only host work is popping
+    the queue).  ``depth`` bounds host memory to ``depth`` staged batches.
+
+    Exceptions in the producer are re-raised in the consumer; the thread
+    is a daemon and also exits when the iterator is dropped (``close``).
+    """
+
+    _DONE = object()
+
+    def __init__(self, loader, depth: int = 2,
+                 stage: Optional[Callable] = None):
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        self.loader = loader
+        self.depth = depth
+        self.stage = stage
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for batch in self.loader:
+                    if self.stage is not None:
+                        batch = self.stage(batch)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                q.put(PrefetchLoader._DONE)
+            except BaseException as e:  # re-raised consumer-side
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True,
+                             name="prefetch-loader")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is PrefetchLoader._DONE:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -145,3 +145,71 @@ def test_compile_plan_counts_bucket_shapes(tmp_path):
     emitted = {(b["text"].shape[1], b["sub"].shape[1], b["mels"].shape[2])
                for b in loader}
     assert emitted == set(plan)
+
+
+def test_prefetch_loader_order_and_stage_thread():
+    """PrefetchLoader must preserve batch order, run the stage function in
+    the producer thread (not the consumer's), and drain fully."""
+    import threading
+    from tacotron2_subword_tpu.data.dataset import PrefetchLoader
+
+    main_thread = threading.get_ident()
+    stage_threads = []
+
+    def stage(x):
+        stage_threads.append(threading.get_ident())
+        return x * 10
+
+    src = list(range(20))
+    out = list(PrefetchLoader(src, depth=3, stage=stage))
+    assert out == [x * 10 for x in src]
+    assert all(t != main_thread for t in stage_threads)
+
+
+def test_prefetch_loader_propagates_producer_error():
+    from tacotron2_subword_tpu.data.dataset import PrefetchLoader
+
+    def gen():
+        yield 1
+        yield 2
+        raise RuntimeError("bad npy")
+
+    it = iter(PrefetchLoader(gen(), depth=2))
+    assert next(it) == 1
+    assert next(it) == 2
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="bad npy"):
+        next(it)
+
+
+def test_prefetch_loader_early_close_stops_producer():
+    """Dropping the consumer mid-stream must let the producer thread exit
+    (no leaked thread spinning on a full queue)."""
+    import threading
+    import time
+    from tacotron2_subword_tpu.data.dataset import PrefetchLoader
+
+    it = iter(PrefetchLoader(iter(range(1000)), depth=1))
+    assert next(it) == 0
+    it.close()
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        if not any(t.name == "prefetch-loader" and t.is_alive()
+                   for t in threading.enumerate()):
+            return
+        time.sleep(0.05)
+    raise AssertionError("producer thread did not exit after close()")
+
+
+def test_prefetch_loader_reusable_over_epochs(synth_dataset):
+    """Wrapping a BucketedLoader: iterating the SAME PrefetchLoader twice
+    must re-run the underlying loader (fresh epoch shuffle), matching the
+    train loop's for-epoch reuse."""
+    from tacotron2_subword_tpu.data.dataset import (BucketedLoader,
+                                                    PrefetchLoader)
+    ds = synth_dataset
+    inner = BucketedLoader(ds, batch_size=2)
+    pf = PrefetchLoader(inner, depth=2)
+    n1 = sum(int(b["weight"].sum()) for b in pf)
+    n2 = sum(int(b["weight"].sum()) for b in pf)
+    assert n1 == n2 == len(ds)

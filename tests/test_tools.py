@@ -74,3 +74,42 @@ def test_parse_xplane_ops_and_categorize(tmp_path):
     assert abs(cats["fusions (VPU elementwise/reduce)"] - 5.0) < 1e-6
     assert abs(cats["copies/transposes"] - 1.0) < 1e-6
     assert abs(cats["dynamic slice/update (scan state)"] - 0.5) < 1e-6
+
+
+def test_make_synthetic_dataset_phase_true():
+    """Round-5 corpus generator: ground truth is audio-first — the wav is
+    synthesized directly (harmonic bank + shaped noise) and the stored mel
+    must equal ops.stft.mel_spectrogram(wav) (the reference's TacotronSTFT
+    pipeline, layers.py:63-80), NOT a template the audio was fitted to."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tacotron2_subword_tpu.ops import stft as S
+
+    M = _load("make_synthetic_dataset")
+    rng = np.random.RandomState(11)
+    phones, durations, sub, cls, mel, wav = M.make_utterance(rng)
+
+    total = int(durations[:, 1].sum())
+    assert wav.shape == (total * M.HOP,)
+    assert mel.shape == (M.MEL_CHANNELS, total)
+    assert np.abs(wav).max() <= 0.98
+    # the mel IS the mel of the audio (phase-true by construction)
+    ref = np.asarray(S.mel_spectrogram(jnp.asarray(wav[None])))[0][:, :total]
+    np.testing.assert_allclose(mel, ref, atol=2e-3)
+
+    # deterministic text->audio mapping: same phones+shift => identical
+    # harmonic core (voiced-only phones, noise seed varied)
+    vp = np.array([p for p in range(3, 67) if p % 4 != 3][:8], np.int32)
+    w1, _ = M.synth_wav(vp, 0.0, noise_seed=1)
+    w2, _ = M.synth_wav(vp, 0.0, noise_seed=2)
+    assert np.corrcoef(w1, w2)[0, 1] > 0.99
+    # CLS pitch shift actually moves the fundamental (conditioning path
+    # carries real information): a proper F0 tracker must report the
+    # +6-semitone arm ~1.414x higher
+    from tacotron2_subword_tpu.eval.metrics import estimate_f0
+    w_up, _ = M.synth_wav(vp, 6.0, noise_seed=1)
+    f0_a = estimate_f0(w1, M.SR)
+    f0_b = estimate_f0(w_up, M.SR)
+    med_a = np.median(f0_a[f0_a > 0])
+    med_b = np.median(f0_b[f0_b > 0])
+    assert 1.25 < med_b / med_a < 1.6, (med_a, med_b)
