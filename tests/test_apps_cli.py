@@ -353,3 +353,46 @@ def test_select_step_fn_warns_once_on_plan_miss(capsys):
     assert select_step_fn({}, (8, 8, 8), sentinel_jit, set()) \
         is sentinel_jit
     assert capsys.readouterr().out == ""
+
+
+def test_check_bert_emb_fallback_and_tokenizer(tmp_path, capsys):
+    """check_bert_emb (reference check_bert_emb.py:1-102): variant streams
+    + pairwise agreement, asset-free fallback mode and a real
+    tokenizers.Tokenizer JSON when the library is available."""
+    from tacotron2_subword_tpu.apps.check_bert_emb import check, main
+
+    text = "toi so gian qua hoa lieu"
+    rep = check(text, fallback_vocabs=[512, 5500])
+    assert set(rep["variants"]) == {"crc32_512", "crc32_5500"}
+    assert rep["variants"]["crc32_512"]["n_tokens"] == len(text.split())
+    pair = rep["pairs"]["crc32_512|crc32_5500"]
+    assert pair["len_a"] == pair["len_b"] == len(text.split())
+    assert 0.0 <= pair["jaccard"] <= 1.0
+
+    try:
+        from tokenizers import Tokenizer
+        from tokenizers.models import WordLevel
+        from tokenizers.pre_tokenizers import Whitespace
+    except ImportError:
+        tok_path = None
+    else:
+        vocab = {w: i for i, w in enumerate(
+            ["[UNK]", "[CLS]", "[SEP]"] + sorted(set(text.split())))}
+        tok = Tokenizer(WordLevel(vocab, unk_token="[UNK]"))
+        tok.pre_tokenizer = Whitespace()
+        tok_path = str(tmp_path / "tiny_tok.json")
+        tok.save(tok_path)
+        rep2 = check(text, tokenizers=[tok_path], fallback_vocabs=[512])
+        assert rep2["variants"]["tiny_tok"]["n_tokens"] == len(text.split())
+
+    # CLI surface
+    import sys
+    argv = sys.argv
+    sys.argv = ["check_bert_emb", "--text", text,
+                "--fallback-vocabs", "512", "600"]
+    try:
+        main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "crc32_512" in out and "prefix_match" in out

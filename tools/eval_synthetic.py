@@ -28,7 +28,11 @@ import numpy as np
 
 # repo root on sys.path (running `python tools/eval_synthetic.py` puts only
 # tools/ there; do NOT use PYTHONPATH — it breaks axon plugin discovery)
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if not __package__:
+    try:
+        import tacotron2_subword_tpu  # noqa: F401 -- installed package
+    except ImportError:  # running from a source checkout
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,11 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if not __package__:
+    try:
+        import tacotron2_subword_tpu  # noqa: F401 -- installed package
+    except ImportError:  # running from a source checkout
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def generator_onnx_graph(params, h):

@@ -32,7 +32,11 @@ import sys
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
+if not __package__:
+    try:
+        import tacotron2_subword_tpu  # noqa: F401 -- installed package
+    except ImportError:  # running from a source checkout
+        sys.path.insert(0, REPO)
 
 
 def main():

@@ -55,7 +55,11 @@ import unicodedata
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if not __package__:
+    try:
+        import tacotron2_subword_tpu  # noqa: F401 -- installed package
+    except ImportError:  # running from a source checkout
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_PHONES = 64          # phone IDs drawn from [3, 3+N_PHONES)
 SUB_VOCAB = 512        # subword IDs from phone bigram hash

@@ -24,7 +24,11 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if not __package__:
+    try:
+        import tacotron2_subword_tpu  # noqa: F401 -- installed package
+    except ImportError:  # running from a source checkout
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # the C++ protobuf runtime in this image cannot load the tsl xplane schema;
 # must be set before any protobuf import (CLAUDE.md xprof recipe)
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
