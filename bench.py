@@ -220,6 +220,41 @@ def run_vocoders(batch: int = 4, frames: int = 256, repeats: int = 6):
     return rates
 
 
+def run_mel_extraction(batch: int = 64, seconds: float = 3.0,
+                       repeats: int = 6):
+    """BASELINE config 2 (batch GTA mel extraction): [B, T] waveform →
+    log-mel via the framed-matmul STFT (ops/stft.py — one MXU einsum per
+    stage).  Reports the xprof DEVICE-time rate alongside wall, in
+    audio-seconds processed per second and µs per mel frame; the roofline
+    argument lives in reports/tpu_kernel_evidence.md."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from tacotron2_subword_tpu.ops import stft as S
+    from tacotron2_subword_tpu.utils.xprof import device_module_ms
+
+    T = int(seconds * 22050) // 256 * 256
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray((rng.randn(batch, T) * 0.1).astype(np.float32))
+    fn = jax.jit(lambda y: jnp.float32(S.mel_spectrogram(y).mean()))
+    np.asarray(fn(wav))  # warmup/compile
+    audio_sec = batch * T / 22050.0
+    n_frames = batch * (T // 256 + 1)
+    wall = _fetch_time([(lambda: fn(wav)) for _ in range(repeats)])
+    with tempfile.TemporaryDirectory() as d:
+        with jax.profiler.trace(d):
+            _fetch_time([(lambda: fn(wav)) for _ in range(repeats)])
+        dev_ms = device_module_ms(d)
+    dt_dev = dev_ms / 1e3 / repeats
+    return {
+        "audio_per_s_device": audio_sec / dt_dev,
+        "us_per_frame_device": dt_dev * 1e6 / n_frames,
+        "audio_per_s_wall": audio_sec / wall,
+        "batch": batch, "samples": T,
+    }
+
+
 def run_cpu_probe(batch: int = INFER_BATCH, pairs: int = 5):
     """Slope-calibrated host-CPU baseline: INTERLEAVED (t_lo, t_hi) window
     pairs, rate from each pair's time difference, median over pairs.
@@ -297,6 +332,7 @@ def main():
     # fwd+bwd kernel; BASELINE config 3 names soft-DTW in the train-step
     # workload) — the delta vs train8_ms is the cost of the loss term
     sdtw8_ms, sdtw8_fps = run_train(8, softdtw_loss_weight=1.0)
+    melx = run_mel_extraction()
     probe(900)
     voc = run_vocoders()
     probe(900)
@@ -330,6 +366,15 @@ def main():
             "train_ms_per_step_B8_softdtw": round(sdtw8_ms, 2),
             "train_workload": f"bf16 fwd+bwd+Adam, T_out={TRAIN_T_OUT}, "
                               f"x{TRAIN_REPEATS} chained steps",
+            "mel_extract_audio_per_s_device": round(
+                melx["audio_per_s_device"], 1),
+            "mel_extract_us_per_frame_device": round(
+                melx["us_per_frame_device"], 3),
+            "mel_extract_audio_per_s_wall": round(
+                melx["audio_per_s_wall"], 1),
+            "mel_extract_workload": (
+                f"B={melx['batch']} x {melx['samples']} samples, "
+                "mel_spectrogram (framed-matmul STFT)"),
             "hifigan_synthesis_khz": round(voc["hifi_f32"], 1),
             "hifigan_synthesis_khz_bf16": round(voc["hifi_bf16"], 1),
             "waveglow_synthesis_khz": round(voc["wg_f32"], 1),

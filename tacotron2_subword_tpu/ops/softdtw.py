@@ -304,6 +304,29 @@ def pallas_fits(N: int, M: int, *, fused: bool = True) -> bool:
     return _fit_block_b(N, M, 8, 6 if fused else 4) >= 1
 
 
+# Measured fused-kernel-vs-scan crossover (xprof DEVICE times, v5e, B=512,
+# reports/tpu_kernel_evidence.md): the fused Pallas fwd+bwd wins at small
+# sizes (17x15: one launch beats the scan's launch chain) and at large
+# sizes (256x256: 14.5 vs 18.1 ms), but LOSES in the mid range where the
+# E-block HBM streaming dominates (64x64: 1.92 vs 1.02 ms; 128x128
+# measured round 5).  These constants encode that curve for auto dispatch.
+PALLAS_SMALL_MAX = 24    # <= this: pallas (launch-bound regime)
+PALLAS_LARGE_MIN = 192   # >= this: pallas (compute-bound regime)
+
+
+def auto_impl(N: int, M: int, backend: Optional[str] = None) -> str:
+    """'pallas' or 'scan': the measured winner for an [N, M] soft-DTW on
+    this backend (see the crossover constants above; scan everywhere off
+    TPU and whenever the fused kernel cannot fit VMEM)."""
+    backend = backend or jax.default_backend()
+    if backend != "tpu" or not pallas_fits(N, M, fused=True):
+        return "scan"
+    size = max(N, M)
+    if size <= PALLAS_SMALL_MAX or size >= PALLAS_LARGE_MIN:
+        return "pallas"
+    return "scan"
+
+
 def _skew_blocked(D: jnp.ndarray, bandwidth: float, block_b: int):
     """Host-side prep shared by the Pallas kernels: band-mask, skew so every
     anti-diagonal is a lane-contiguous row, pad lanes to the 128 boundary,

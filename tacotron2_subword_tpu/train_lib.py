@@ -76,8 +76,9 @@ def softdtw_mel_loss(mel_out: jnp.ndarray, mel_target: jnp.ndarray,
     D = SD.euclidean_dist_matrix(x, y)
     impl = cfg.softdtw_impl
     if impl == "auto":
-        impl = ("pallas" if jax.default_backend() == "tpu"
-                and SD.pallas_fits(N, M, fused=True) else "scan")
+        # measured-crossover dispatch (ops/softdtw.auto_impl): the fused
+        # Pallas kernel only where it beats the scan on device time
+        impl = SD.auto_impl(N, M)
     if impl == "pallas":
         vals = SD.softdtw_pallas_diff(D, cfg.softdtw_gamma,
                                       cfg.softdtw_bandwidth)

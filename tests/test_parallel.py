@@ -103,3 +103,28 @@ def test_hifigan_model_sharding(mesh8):
     out = np.asarray(jax.jit(
         lambda p, m: HG.generator_apply(p, h, m))(sparams, mel))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n,tp", [(16, 4), (32, 4)])
+def test_dryrun_wider_meshes_with_parity(n, tp):
+    """The mesh logic must not be 8-device-shaped: run the full dryrun at
+    16/32 virtual devices with TP=4 and assert loss parity against the
+    unsharded single-device step (subprocess: device count is fixed at
+    backend init, so the 8-device test process can't host these)."""
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import __graft_entry__ as g\n"
+        f"g.dryrun_multichip({n}, n_model={tp}, check_parity=True)\n")
+    env = dict(os.environ,
+               XLA_FLAGS=f"--xla_force_host_platform_device_count={n}",
+               JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert f"dryrun_multichip({n}): ok" in r.stdout
+    assert f"data={n // tp} x model={tp}, parity-checked" in r.stdout

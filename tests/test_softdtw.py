@@ -192,3 +192,22 @@ def test_pallas_autoshrink_matches_scan_interpret():
     # force a shrink by passing an oversized block_b
     out = np.asarray(SD.softdtw_pallas(D, 1.0, 0.0, True, block_b=8))
     np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_auto_impl_matches_measured_crossover():
+    """The 'auto' dispatcher must pick the MEASURED device-time winner at
+    the three published benchmark sizes (reports/tpu_kernel_evidence.md,
+    v5e B=512): fused Pallas at 17x15 and 256x256, scan at 64x64 where the
+    fused kernel is ~1.9x slower; scan everywhere off-TPU and for
+    VMEM-overflow shapes."""
+    from tacotron2_subword_tpu.ops import softdtw as SD
+
+    assert SD.auto_impl(17, 15, backend="tpu") == "pallas"
+    assert SD.auto_impl(64, 64, backend="tpu") == "scan"
+    assert SD.auto_impl(256, 256, backend="tpu") == "pallas"
+    # off-TPU: always the scan custom-VJP
+    assert SD.auto_impl(256, 256, backend="cpu") == "scan"
+    assert SD.auto_impl(17, 15) == "scan"  # this test process is CPU
+    # VMEM-overflow shape must fall back rather than fail in Mosaic
+    assert not SD.pallas_fits(4096, 4096, fused=True)
+    assert SD.auto_impl(4096, 4096, backend="tpu") == "scan"
