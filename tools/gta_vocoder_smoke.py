@@ -63,6 +63,12 @@ def main():
     ap.add_argument("--skip-wavs", action="store_true",
                     help="reuse {work}/wavs + gta_mels from a previous run "
                          "(steps 1-2 skipped)")
+    ap.add_argument("--corpus-wavs", action="store_true",
+                    help="use the corpus's PHASE-TRUE ground-truth audio "
+                         "({split}/wav/{i}.wav from the round-5 audio-first "
+                         "make_synthetic_dataset) instead of Griffin-Lim "
+                         "renders — the fair setting for a neural-vocoder-"
+                         "vs-GL comparison")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -95,6 +101,22 @@ def main():
     if args.skip_wavs:
         print("[1-2/4] --skip-wavs: reusing existing wavs + GTA mels",
               flush=True)
+    elif args.corpus_wavs:
+        # phase-true ground truth shipped by the corpus itself: copy into
+        # the train/held-out split under the placeholder naming the GTA +
+        # fine-tune steps key on
+        import shutil
+        for i in range(args.n):
+            dur_path = os.path.join(base, "durations", f"{i}.npy")
+            src = os.path.join(base, "wav", f"{i}.wav")
+            out_dir = wav_dir if i < n_train else eval_wav_dir
+            wav_path = os.path.join(out_dir, f"placeholder_{i}.wav")
+            shutil.copy(src, wav_path)
+            rows.append(f"{wav_path}|{dur_path}")
+        with open(list_path, "w") as f:
+            f.write("\n".join(rows) + "\n")
+        print(f"[1/4] copied {args.n} phase-true corpus wavs "
+              f"({args.eval_n} held out)", flush=True)
     else:
         # bucket the mel length before the jitted Griffin-Lim: each distinct
         # length would remote-compile a fresh program (minutes per shape on the
@@ -119,7 +141,8 @@ def main():
         print(f"[1/4] wrote {args.n} griffin-lim wavs "
               f"({args.eval_n} held out)", flush=True)
 
-        # ---- 2. GTA extraction (subprocess keeps backend choice clean) -----
+    if not args.skip_wavs:
+        # ---- 2. GTA extraction (subprocess keeps backend choice clean) --
         cmd = [sys.executable, "-m", "tacotron2_subword_tpu.apps.gta",
                list_path, args.checkpoint, gta_dir,
                "--mel-dir", os.path.join(base, "mels"),
@@ -218,9 +241,19 @@ def main():
         pad_f = -(-T // 64) * 64
         m = np.pad(gta, ((0, 0), (0, pad_f - T)), constant_values=MEL_FLOOR)
         y = np.asarray(inv(jnp.asarray(m[None])))[0][: T * 256]
-        # same 0.8-peak normalization as the ground-truth renders, so the
-        # MCD energy coefficient sees no scale mismatch
+        if args.corpus_wavs:
+            return y  # RMS-matched to gt below, same as the HiFi-GAN arm
+        # legacy GL-rendered-gt mode: same 0.8-peak normalization as the
+        # ground-truth renders, so the MCD energy coefficient sees no
+        # scale mismatch
         return y / max(1e-6, np.abs(y).max()) * 0.8
+
+    def rms_match(y: np.ndarray, ref: np.ndarray) -> np.ndarray:
+        """Loudness-equalize a vocoded output to the ground truth so the
+        MCD level coefficient compares spectra, not gains — applied to
+        BOTH arms identically."""
+        r = np.sqrt(np.mean(ref ** 2)) / max(np.sqrt(np.mean(y ** 2)), 1e-9)
+        return y * r
 
     mcd_hifi, mcd_gl = [], []
     for i in eval_ids:
@@ -228,9 +261,13 @@ def main():
         _, gt16 = wav_read(os.path.join(eval_wav_dir,
                                         f"placeholder_{i}.wav"))
         gt = gt16.astype(np.float32) / 32768.0
-        m1 = mcd_between_wavs(np.clip(vocode_b(gen_ft, gta), -1, 1), gt,
-                              fs=22050)
-        m2 = mcd_between_wavs(np.clip(gl_b(gta), -1, 1), gt, fs=22050)
+        y_hifi = vocode_b(gen_ft, gta)
+        y_gl = gl_b(gta)
+        if args.corpus_wavs:
+            y_hifi = rms_match(y_hifi, gt)
+            y_gl = rms_match(y_gl, gt)
+        m1 = mcd_between_wavs(np.clip(y_hifi, -1, 1), gt, fs=22050)
+        m2 = mcd_between_wavs(np.clip(y_gl, -1, 1), gt, fs=22050)
         if m1 is not None and m2 is not None:
             mcd_hifi.append(m1)
             mcd_gl.append(m2)
@@ -254,6 +291,28 @@ def main():
         import shutil
         shutil.copy(out_wav, os.path.join(args.report,
                                           "vocoded_gta_hifigan.wav"))
+        if args.corpus_wavs:
+            gt_note = (
+                "Ground truth is the corpus's PHASE-TRUE audio (round-5 "
+                "audio-first synthesis, tools/make_synthetic_dataset.py): "
+                "the corpus mel IS mel(gt_wav), so neither vocoder shares "
+                "an artifact family with the target and the comparison is "
+                "fair.  Both arms are RMS-matched to the ground truth "
+                "before MCD.\n\n")
+            mel_note = ("(gt_mel here equals mel(gt_wav) up to the final "
+                        "frame's padding — the two columns should agree)"
+                        "\n\n")
+        else:
+            gt_note = (
+                "(caveat: the corpus 'ground-truth' audio is itself a "
+                "Griffin-Lim render — the GL row shares its artifact "
+                "family with the target, an advantage no neural vocoder "
+                "gets on this synthetic corpus)\n\n")
+            mel_note = (
+                "(the gt_mel column carries a floor no vocoder can pass: "
+                "the training audio is a Griffin-Lim render normalized to "
+                "0.8 peak, whose own mel differs from gt_mel by phase "
+                "noise + a constant log-amplitude shift)\n\n")
         with open(os.path.join(args.report, "gta_hifigan_finetune.md"),
                   "w") as f:
             f.write(
@@ -270,20 +329,14 @@ def main():
                 f"| random init | {l1_init:.4f} | {l1_init_w:.4f} |\n"
                 f"| fine-tuned ({ft_iters} iters) | {l1_ft:.4f} | "
                 f"{l1_ft_w:.4f} |\n\n"
-                "(the gt_mel column carries a floor no vocoder can pass: "
-                "the training audio is a Griffin-Lim render normalized to "
-                "0.8 peak, whose own mel differs from gt_mel by phase "
-                "noise + a constant log-amplitude shift)\n\n"
+                + mel_note +
                 "Held-out wav-MCD vs corpus ground-truth audio "
                 "(CheapTrick-style MCEP, 16 kHz eval):\n\n"
                 "| vocoder | wav-MCD |\n"
                 "|---|---|\n"
                 f"| fine-tuned HiFi-GAN | {mcd_hifi_m:.3f} |\n"
                 f"| Griffin-Lim (60 iters) | {mcd_gl_m:.3f} |\n\n"
-                "(caveat: the corpus 'ground-truth' audio is itself a "
-                "Griffin-Lim render — the GL row shares its artifact "
-                "family with the target, an advantage no neural vocoder "
-                "gets on this synthetic corpus)\n\n"
+                + gt_note +
                 "G/D loss balance + mel-L1 curves: "
                 f"`{os.path.join(voc_dir, 'loss_curve.csv')}`.\n\n"
                 "`vocoded_gta_hifigan.wav` is a held-out GTA mel vocoded "
