@@ -121,7 +121,11 @@ def main():
     # --- soft-DTW: the reference profile harness shapes
     # (soft_dtw_cuda.py:421-428) ---------------------------------------
     rng = np.random.default_rng(0)
-    for (B, L_a, L_b) in [(128, 17, 15), (512, 64, 64), (512, 256, 256)]:
+    # 128/192 pin the auto_impl crossover boundary (ops/softdtw.py
+    # PALLAS_LARGE_MIN) between the measured 64x64 scan win and the
+    # 256x256 fused-kernel win
+    for (B, L_a, L_b) in [(128, 17, 15), (512, 64, 64), (512, 128, 128),
+                          (512, 192, 192), (512, 256, 256)]:
         x = jnp.asarray(rng.standard_normal((B, L_a, 2), dtype=np.float32))
         y = jnp.asarray(rng.standard_normal((B, L_b, 2), dtype=np.float32))
         D = SD.euclidean_dist_matrix(x, y)
@@ -180,6 +184,36 @@ def main():
                      f"(device {d_ref:.3f}) | pallas {t_ker:.2f} ms "
                      f"(device {d_ker:.3f}) | rel_err {rel:.2e} "
                      f"{'OK' if good else 'MISMATCH'}")
+
+    # --- mel-extraction pipeline: measured device time vs roofline ------
+    # (BASELINE config 2 names batch GTA mel extraction; the north star
+    # lists STFT/mel as a Pallas rFFT+filterbank candidate — this is the
+    # measured verdict on whether the framed-matmul formulation already
+    # sits at the hardware bound, ops/stft.py:1-19)
+    from tacotron2_subword_tpu.ops import stft as S
+    B_mel, T_mel = 64, 66304  # ~3 s per utterance
+    wav = jnp.asarray((rng.standard_normal((B_mel, T_mel),
+                                           dtype=np.float32) * 0.1))
+    for dtype, name in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        y = wav.astype(dtype)
+        mel_fn = jax.jit(lambda w: S.mel_spectrogram(w))
+        d_mel = device_ms(mel_fn, y)
+        t_mel_w = fetch_ms(mel_fn, y)
+        F = T_mel // 256 + 1
+        flops = 2 * B_mel * F * (1024 * 1026 + 513 * 80)
+        # HBM bytes if every intermediate materializes: frames in+out of
+        # the einsum, basis, spec, mel (upper bound; fusion reduces it)
+        bytes_hi = 4 * (B_mel * T_mel + 2 * B_mel * F * 1024
+                        + 1026 * 1024 + B_mel * 1026 * F + B_mel * 80 * F)
+        achieved_tf = flops / (d_mel / 1e3) / 1e12
+        achieved_gbs = bytes_hi / (d_mel / 1e3) / 1e9
+        audio_rate = B_mel * T_mel / 22050.0 / (d_mel / 1e3)
+        lines.append(
+            f"mel_extract {name} B={B_mel} T={T_mel} (F={F}): device "
+            f"{d_mel:.3f} ms (wall {t_mel_w:.1f}) = {audio_rate:,.0f} "
+            f"audio-sec/s | {achieved_tf:.1f} TFLOP/s achieved "
+            f"({flops / 1e9:.1f} GFLOP) | {achieved_gbs:.0f} GB/s vs "
+            f"819 GB/s HBM if fully materialized ({bytes_hi / 1e6:.0f} MB)")
 
     report = "\n".join(lines)
     print(report)
