@@ -39,6 +39,26 @@ class StepProfiler:
             self._active = False
 
 
+def _host_cpu_tag() -> str:
+    """Short hash of this host's CPU feature flags.  XLA:CPU AOT cache
+    entries hard-abort (SIGABRT, not a catchable error) when loaded on a
+    machine whose features differ from the compile machine — observed
+    after a VM migration: 'Target machine feature +prefer-no-gather is
+    not supported on the host machine'.  Keying the cache dir by the
+    feature set gives every distinct host its own cache instead."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform as _pl
+    return hashlib.sha1(_pl.processor().encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     """Enable JAX's persistent compilation cache so repeated app runs
     (resume, sweeps, inference restarts) skip the 1-4 minute XLA compiles.
@@ -63,7 +83,8 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
 
     path = cache_dir or os.environ.get(
         "TACOTRON2_TPU_COMPILE_CACHE",
-        os.path.expanduser("~/.cache/tacotron2_subword_tpu/xla"))
+        os.path.join(os.path.expanduser("~/.cache/tacotron2_subword_tpu"),
+                     f"xla-{_host_cpu_tag()}"))
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
