@@ -176,7 +176,24 @@ def train(args) -> None:
                  + 45.0 * loss_mel)
         return total, loss_mel
 
+    def mel_only_loss_fn(gen_p, mel, audio):
+        y_hat = HG.generator_apply(gen_p, h, mel)
+        mel_hat = S.mel_spectrogram(y_hat[:, 0, :])
+        mel_y = S.mel_spectrogram(audio)
+        n = min(mel_hat.shape[-1], mel_y.shape[-1])
+        loss_mel = jnp.mean(jnp.abs(mel_hat[..., :n] - mel_y[..., :n]))
+        return 45.0 * loss_mel, loss_mel
+
     def step_impl(gen_p, disc_p, og, od, mel, audio):
+        if args.mel_only:
+            # regression polish: pure 45x mel-L1, discriminators frozen —
+            # the standard post-GAN generator fine-tune that trades a
+            # little texture sharpness for spectral-envelope accuracy
+            (gl, lmel), ggrads = jax.value_and_grad(
+                mel_only_loss_fn, has_aux=True)(gen_p, mel, audio)
+            gupd, og = tx_g.update(ggrads, og, gen_p)
+            gen_p = optax.apply_updates(gen_p, gupd)
+            return gen_p, disc_p, og, od, jnp.float32(0.0), gl, lmel
         dl, dgrads = jax.value_and_grad(d_loss_fn)(disc_p, gen_p, mel,
                                                    audio)
         dupd, od = tx_d.update(dgrads, od, disc_p)
@@ -253,6 +270,12 @@ def main():
     p.add_argument("--resume", default=None,
                    help="state_NNNNNNNN dir from a previous run (restores "
                         "gen+disc+optimizers+iteration)")
+    p.add_argument("--mel-only", action="store_true",
+                   help="regression polish: update the generator with the "
+                        "45x mel-L1 term only (no adversarial/feature "
+                        "losses, discriminators frozen) — run a few k "
+                        "iters after the GAN phase to sharpen the "
+                        "spectral envelope")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--seed", type=int, default=1234)
     train(p.parse_args())
