@@ -182,7 +182,20 @@ def train(args) -> None:
         mel_y = S.mel_spectrogram(audio)
         n = min(mel_hat.shape[-1], mel_y.shape[-1])
         loss_mel = jnp.mean(jnp.abs(mel_hat[..., :n] - mel_y[..., :n]))
-        return 45.0 * loss_mel, loss_mel
+        total = 45.0 * loss_mel
+        if args.stft_loss_weight:
+            # full-resolution log-|STFT| L1 (the Parallel-WaveGAN spectral
+            # term): constrains the 513-bin envelope detail an 80-bin mel
+            # cannot see — inter-bin valleys/peaks that spectral-envelope
+            # metrics (and ears) do register
+            sm_hat = S.stft_magnitude(y_hat[:, 0, :], 1024, 256, 1024)
+            sm_y = S.stft_magnitude(audio, 1024, 256, 1024)
+            k = min(sm_hat.shape[-1], sm_y.shape[-1])
+            loss_stft = jnp.mean(jnp.abs(
+                jnp.log(jnp.maximum(sm_hat[..., :k], 1e-5))
+                - jnp.log(jnp.maximum(sm_y[..., :k], 1e-5))))
+            total = total + args.stft_loss_weight * loss_stft
+        return total, loss_mel
 
     def step_impl(gen_p, disc_p, og, od, mel, audio):
         if args.mel_only:
@@ -270,6 +283,9 @@ def main():
     p.add_argument("--resume", default=None,
                    help="state_NNNNNNNN dir from a previous run (restores "
                         "gen+disc+optimizers+iteration)")
+    p.add_argument("--stft-loss-weight", type=float, default=0.0,
+                   help="add w * log-|STFT| L1 (513-bin) to the --mel-only "
+                        "objective — full-resolution envelope detail")
     p.add_argument("--mel-only", action="store_true",
                    help="regression polish: update the generator with the "
                         "45x mel-L1 term only (no adversarial/feature "

@@ -69,6 +69,10 @@ def main():
                          "make_synthetic_dataset) instead of Griffin-Lim "
                          "renders — the fair setting for a neural-vocoder-"
                          "vs-GL comparison")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip the fine-tune too: evaluate the newest "
+                         "g_* under {work}/hifigan against Griffin-Lim "
+                         "(use with --skip-wavs)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -155,15 +159,17 @@ def main():
         assert n_gta >= args.n
 
     # ---- 3. HiFi-GAN fine-tune on (GTA mel, audio) ---------------------
-    cmd = [sys.executable, "-m", "tacotron2_subword_tpu.apps.train_hifigan",
-           "-o", voc_dir, "--wav-dir", wav_dir, "--mel-dir", gta_dir,
-           "--batch-size", str(args.hifigan_batch),
-           "--iters", str(args.iters),
-           "--log-interval", str(args.log_interval),
-           "--iters-per-checkpoint", str(args.ckpt_every or args.iters)]
-    if args.resume:
-        cmd += ["--resume", args.resume]
-    subprocess.run(cmd, check=True, env=env, cwd=REPO)
+    if not args.eval_only:
+        cmd = [sys.executable, "-m",
+               "tacotron2_subword_tpu.apps.train_hifigan",
+               "-o", voc_dir, "--wav-dir", wav_dir, "--mel-dir", gta_dir,
+               "--batch-size", str(args.hifigan_batch),
+               "--iters", str(args.iters),
+               "--log-interval", str(args.log_interval),
+               "--iters-per-checkpoint", str(args.ckpt_every or args.iters)]
+        if args.resume:
+            cmd += ["--resume", args.resume]
+        subprocess.run(cmd, check=True, env=env, cwd=REPO)
     ckpts = sorted(f for f in os.listdir(voc_dir) if f.startswith("g_"))
     assert ckpts, "no fine-tuned generator checkpoint written"
     ft_iters = int(ckpts[-1].split("_")[1])
