@@ -364,8 +364,16 @@ def main():
                       num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
                       process_id=int(os.environ["JAX_PROCESS_ID"]))
         jax.distributed.initialize(**kw)
-    from tacotron2_subword_tpu.utils.platform import enable_compilation_cache
-    enable_compilation_cache()
+    if args.model_parallel <= 1:
+        # XLA:CPU cannot reload serialized model-parallel executables: the
+        # compiler records tuning pseudo-features (+prefer-no-gather, set
+        # by the TP collectives' codegen) that the AOT loader then treats
+        # as unsupported host features — every reload fails, and under
+        # load the failure intermittently hard-aborts (SIGABRT) instead of
+        # falling back to a recompile.  DP-only executables reload fine.
+        from tacotron2_subword_tpu.utils.platform import \
+            enable_compilation_cache
+        enable_compilation_cache()
     if args.tokenizer_vocab:
         extra = f"[sub_n_symbols:{args.tokenizer_vocab}-]"
         args.hparams = args.hparams or extra

@@ -331,3 +331,13 @@ class PrefetchLoader:
                 yield item
         finally:
             stop.set()
+            # drain so a producer blocked in q.put() sees the stop flag,
+            # then JOIN: a daemon thread killed at interpreter exit while
+            # inside a C++ staging call (device_put) aborts the process
+            # ("FATAL: exception not rethrown")
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=10.0)
