@@ -10,10 +10,13 @@ reports pairwise stream agreement, and — when a local BERT model directory
 is supplied — the [CLS]-vector cosine similarity and per-token embedding
 statistics between variants.
 
-Degrades gracefully in asset-free environments (this image has no network
-egress): with ``--fallback-vocabs`` the deterministic crc32 subword-ID
-fallback used by apps/inference.py stands in for the tokenizer JSONs, so
-the ID-stream comparison still exercises the real inference-time path.
+When ``--tokenizers`` is omitted, the trained asset shipped with this
+package (assets/vibert_512.json, from tools/train_tokenizer.py) is used as
+the default variant.  Degrades gracefully in asset-free environments (this
+image has no network egress): with ``--fallback-vocabs`` the deterministic
+crc32 subword-ID fallback used by apps/inference.py stands in for the
+tokenizer JSONs, so the ID-stream comparison still exercises the real
+inference-time path.
 
     python -m tacotron2_subword_tpu.apps.check_bert_emb \
         --text "toi so gian qua hoa lieu" \
@@ -54,8 +57,15 @@ def check(text: str, tokenizers: Optional[List[str]] = None,
     "cls_cosine": float or None}}}.
     """
     from tacotron2_subword_tpu.text.bert import (SubwordTokenizer,
-                                                 hashed_subword_ids)
+                                                 hashed_subword_ids,
+                                                 packaged_tokenizer_path)
 
+    if tokenizers is None and not fallback_vocabs:
+        # no variants requested at all: default to the trained asset
+        # shipped with the package (tools/train_tokenizer.py), mirroring
+        # the reference's always-present data/vibert_*.json variants
+        packaged = packaged_tokenizer_path()
+        tokenizers = [packaged] if packaged else []
     variants: Dict[str, Dict] = {}
     for path in tokenizers or []:
         tok = SubwordTokenizer(path)

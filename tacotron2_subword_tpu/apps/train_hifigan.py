@@ -112,6 +112,23 @@ class SyntheticSegments:
     sample_batch = SegmentSampler.sample_batch
 
 
+def make_optimizer(lr: float, lr_decay: float = 1.0,
+                   decay_every: int = 1) -> "optax.GradientTransformation":
+    """Adam(b1=0.8, b2=0.99) with the reference's per-epoch exponential lr
+    decay (reference hifigan train.py ExponentialLR(gamma=h.lr_decay),
+    lr_decay=0.999 in hifigan_infer/config_v1.json).
+
+    ``lr_decay=1.0`` returns a plain constant-lr adam with the historical
+    optimizer-state structure, so old ``state_NNNNNNNN`` checkpoints saved
+    before the schedule existed still restore against the template."""
+    if lr_decay >= 1.0:
+        return optax.adam(lr, b1=0.8, b2=0.99)
+    sched = optax.exponential_decay(init_value=lr,
+                                    transition_steps=max(decay_every, 1),
+                                    decay_rate=lr_decay, staircase=True)
+    return optax.adam(sched, b1=0.8, b2=0.99)
+
+
 def restore_gan_state(path: str, gen, disc, opt_g, opt_d):
     """Restore a ``state_NNNNNNNN`` dir against freshly-initialized
     templates so structure/type mismatches (e.g. an optax version changing
@@ -143,8 +160,14 @@ def train(args) -> None:
     kg, kd = jax.random.split(jax.random.PRNGKey(args.seed))
     gen = HG.init_generator(kg, h)
     disc = HG.init_discriminators(kd)
-    tx_g = optax.adam(args.lr, b1=0.8, b2=0.99)
-    tx_d = optax.adam(args.lr, b1=0.8, b2=0.99)
+    # "epoch" for the per-epoch reference decay = one pass over the clips
+    B_total = args.batch_size * n_dev
+    decay_every = args.decay_every or max(len(ds) // max(B_total, 1), 1)
+    if args.lr_decay < 1.0:
+        print(f"lr decay {args.lr_decay} every {decay_every} iters "
+              f"(reference ExponentialLR per epoch)")
+    tx_g = make_optimizer(args.lr, args.lr_decay, decay_every)
+    tx_d = make_optimizer(args.lr, args.lr_decay, decay_every)
     opt_g, opt_d = tx_g.init(gen), tx_d.init(disc)
     start_it = 0
     if args.resume:
@@ -222,7 +245,7 @@ def train(args) -> None:
                    out_shardings=(rep,) * 7,
                    donate_argnums=(0, 1, 2, 3))
 
-    B = args.batch_size * n_dev
+    B = B_total
     curve_path = os.path.join(args.output_directory, "loss_curve.csv")
     curve_new = not (args.resume and os.path.exists(curve_path))
     curve = open(curve_path, "w" if curve_new else "a")
@@ -275,6 +298,15 @@ def main():
     p.add_argument("--config", default=None)
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--lr-decay", type=float, default=0.999,
+                   help="per-epoch exponential lr decay (reference "
+                        "config_v1.json lr_decay; 1.0 = constant lr with "
+                        "the pre-schedule optimizer-state layout — use "
+                        "1.0 to --resume checkpoints saved before the "
+                        "schedule existed)")
+    p.add_argument("--decay-every", type=int, default=0,
+                   help="iters per decay step (0 = one epoch = "
+                        "len(dataset)/batch)")
     p.add_argument("--iters", type=int, default=1000)
     p.add_argument("--iters-per-checkpoint", type=int, default=200)
     p.add_argument("--log-interval", type=int, default=1,

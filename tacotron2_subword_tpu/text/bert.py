@@ -72,6 +72,17 @@ def repeat_cls(cls_vec: np.ndarray, length: int) -> np.ndarray:
     return np.repeat(cls_vec[None, :], length, axis=0)
 
 
+def packaged_tokenizer_path() -> Optional[str]:
+    """Path of the trained tokenizer asset shipped with this package
+    (``assets/vibert_512.json``, produced by tools/train_tokenizer.py over
+    the Vietnamese syllable lexicon), or None if the package was installed
+    without data files.  The reference ships its equivalents as
+    data/vibert_{5500..7500}.json (reference check_bert_emb.py:24-33)."""
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "vibert_512.json")
+    return path if os.path.exists(path) else None
+
+
 def hashed_subword_ids(text: str, vocab_size: int) -> np.ndarray:
     """Deterministic per-word subword-ID fallback for when no tokenizer
     asset is present (the reference always has data/vibert_*.json; this repo

@@ -162,3 +162,28 @@ def test_text2seq_character_mode():
     t2s = Text2Seq(VI_LEX)
     seq = t2s.text_to_sequence("ba", is_phone=False)
     assert seq == [t2s.symbol_to_id["b"], t2s.symbol_to_id["a"]]
+
+
+def test_packaged_tokenizer_asset_default():
+    """The trained asset shipped with the package (assets/vibert_512.json,
+    from tools/train_tokenizer.py over the reference syllable lexicon)
+    loads, encodes within its vocab, and is check_bert_emb's default
+    variant when no tokenizers are requested (reference
+    check_bert_emb.py:24-33 always has its vibert JSONs on hand)."""
+    pytest.importorskip("tokenizers")
+    from tacotron2_subword_tpu.text.bert import (SubwordTokenizer,
+                                                 packaged_tokenizer_path)
+    p = packaged_tokenizer_path()
+    assert p is not None and os.path.exists(p)
+    st = SubwordTokenizer(p)
+    assert st.vocab_size == 512
+    ids = st.encode("xin chào thế giới hôm nay")
+    assert len(ids) > 0 and int(ids.max()) < 512
+    # deterministic across loads (training-time vs inference-time IDs)
+    assert (SubwordTokenizer(p).encode("xin chào thế giới hôm nay")
+            == ids).all()
+
+    from tacotron2_subword_tpu.apps.check_bert_emb import check
+    rep = check("xin chào thế giới")
+    assert "vibert_512" in rep["variants"]
+    assert rep["variants"]["vibert_512"]["vocab"] == 512

@@ -113,3 +113,76 @@ def test_make_synthetic_dataset_phase_true():
     med_a = np.median(f0_a[f0_a > 0])
     med_b = np.median(f0_b[f0_b > 0])
     assert 1.25 < med_b / med_a < 1.6, (med_a, med_b)
+
+
+def test_train_tokenizer_trains_loadable_vibert_asset(tmp_path):
+    """tools/train_tokenizer produces a vibert-style WordPiece JSON
+    (counterpart of the reference's pre-trained data/vibert_*.json,
+    reference data_utils.py:15-26) that loads through
+    text.bert.SubwordTokenizer with [CLS]/[SEP] stripped, and whose
+    normalization matches the corpus text path (NFKC + lowercase)."""
+    import numpy as np
+    import pytest
+    pytest.importorskip("tokenizers")
+    T = _load("train_tokenizer")
+
+    sents = ["xin chào thế giới", "hôm nay trời đẹp quá",
+             "tôi yêu tiếng việt", "chào em hôm nay"] * 16
+    tok = T.train_wordpiece(sents, vocab_size=200)
+    path = str(tmp_path / "vibert_test.json")
+    tok.save(path)
+
+    from tacotron2_subword_tpu.text.bert import SubwordTokenizer
+    st = SubwordTokenizer(path)
+    assert st.vocab_size <= 200
+    ids = st.encode("xin chào hôm nay")
+    cls_id, sep_id = tok.token_to_id("[CLS]"), tok.token_to_id("[SEP]")
+    assert len(ids) > 0 and int(ids.max()) < st.vocab_size
+    assert cls_id not in ids and sep_id not in ids
+    # the raw tokenizer DOES emit the specials (reference-style
+    # post-processor) — stripping is SubwordTokenizer's job
+    raw = tok.encode("xin chào hôm nay").ids
+    assert raw[0] == cls_id and raw[-1] == sep_id
+    # NFKC+lowercase normalizer: cased/composed input encodes identically
+    np.testing.assert_array_equal(st.encode("XIN CHÀO Hôm Nay"), ids)
+
+    # "id|sentence" corpus files parse
+    tf = tmp_path / "train_text.txt"
+    tf.write_text("0|xin chào\n1|hôm nay\n", encoding="utf-8")
+    assert T.read_text_file(str(tf)) == ["xin chào", "hôm nay"]
+
+
+def test_make_text_utterance_uses_trained_tokenizer(tmp_path):
+    """--tokenizer-json in make_synthetic_dataset: the corpus subword
+    stream must come from the trained asset (mod sub_vocab, exactly the
+    apps/inference.py convention) instead of the crc32 fallback."""
+    import unicodedata
+    import numpy as np
+    import pytest
+    pytest.importorskip("tokenizers")
+    M = _load("make_synthetic_dataset")
+    T = _load("train_tokenizer")
+
+    lex = tmp_path / "small.lex"
+    lex.write_text("an a_1 n\nba b a_1\nem E_1 m\nme m E_1\nnam n a_1 m\n",
+                   encoding="utf-8")
+    from tacotron2_subword_tpu.text import Text2Seq
+    from tacotron2_subword_tpu.text.bert import SubwordTokenizer
+    t2s = Text2Seq(str(lex))
+    sylls = ["an", "ba", "em", "me", "nam"]
+
+    tok = T.train_wordpiece(
+        [" ".join(sylls)] * 8 + ["ba em", "nam an me"], vocab_size=64)
+    path = str(tmp_path / "vibert_64.json")
+    tok.save(path)
+    st = SubwordTokenizer(path)
+
+    rng = np.random.RandomState(3)
+    text, phones, durations, sub, cls, mel, wav = M.make_text_utterance(
+        rng, sylls, t2s, sub_vocab=512, tokenizer=st)
+    norm = unicodedata.normalize("NFKC", text).lower()
+    np.testing.assert_array_equal(sub, st.encode(norm) % 512)
+    # and differs from the crc32 fallback stream (i.e. the asset is live)
+    from tacotron2_subword_tpu.text.bert import hashed_subword_ids
+    fb = hashed_subword_ids(norm, 512)
+    assert len(sub) != len(fb) or (np.asarray(sub) != fb).any()

@@ -520,3 +520,52 @@ def test_hifigan_gan_state_resume_roundtrip(tmp_path):
     tx_sgd = optax.sgd(1e-3, momentum=0.9)
     with pytest.raises(Exception):
         restore_gan_state(path, g2, d2, tx_sgd.init(g2), tx_sgd.init(d2))
+
+
+def test_hifigan_lr_decay_schedule(tmp_path):
+    """make_optimizer mirrors the reference's per-epoch ExponentialLR
+    (reference hifigan train.py / config_v1.json lr_decay=0.999): staircase
+    decay every ``decay_every`` steps; lr_decay=1.0 keeps the historical
+    (schedule-free) optimizer-state layout so pre-schedule checkpoints
+    still restore; schedule state survives a save->resume roundtrip."""
+    import optax
+    import orbax.checkpoint as ocp
+    from tacotron2_subword_tpu.apps.train_hifigan import (make_optimizer,
+                                                          restore_gan_state)
+
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    grads = {"w": jnp.ones((4,), jnp.float32)}
+
+    # staircase decay: adam's bias-corrected update for a constant grad is
+    # ~lr, so consecutive-window update ratios expose the schedule
+    tx = make_optimizer(1e-2, lr_decay=0.5, decay_every=2)
+    st = tx.init(params)
+    mags = []
+    for _ in range(6):
+        upd, st = tx.update(grads, st, params)
+        mags.append(float(jnp.abs(upd["w"]).mean()))
+    assert abs(mags[1] / mags[0] - 1.0) < 0.05      # within an epoch: flat
+    assert abs(mags[3] / mags[1] - 0.5) < 0.05      # epoch boundary: x0.5
+    assert abs(mags[5] / mags[3] - 0.5) < 0.05
+
+    # lr_decay=1.0 keeps the plain-adam state structure (old checkpoints)
+    legacy = optax.adam(1e-2, b1=0.8, b2=0.99).init(params)
+    flat = make_optimizer(1e-2, lr_decay=1.0).init(params)
+    assert (jax.tree_util.tree_structure(flat)
+            == jax.tree_util.tree_structure(legacy))
+
+    # schedule count survives the templated save->resume roundtrip
+    path = str(tmp_path / "state_00000006")
+    ocp.PyTreeCheckpointer().save(
+        path, jax.tree_util.tree_map(
+            np.asarray, {"gen": params, "disc": params, "opt_g": st,
+                         "opt_d": st, "it": 6}))
+    tx2 = make_optimizer(1e-2, lr_decay=0.5, decay_every=2)
+    _, _, rog, _, it = restore_gan_state(path, params, params,
+                                         tx2.init(params), tx2.init(params))
+    assert it == 6
+    upd, _ = tx2.update(grads, rog, params)
+    resumed = float(jnp.abs(upd["w"]).mean())
+    upd7, _ = tx.update(grads, st, params)          # the un-resumed 7th
+    expected = float(jnp.abs(upd7["w"]).mean())
+    assert abs(resumed / expected - 1.0) < 0.05     # schedule continues

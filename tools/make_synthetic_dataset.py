@@ -37,8 +37,10 @@ Usage: python tools/make_synthetic_dataset.py --out /tmp/synth_data \
 --from-text mode: instead of random phone IDs, each utterance is a real
 (randomly composed) Vietnamese sentence run through the ACTUAL text
 front-end — NFKC-lowercase → G2P (native/g2p_fst over the reference
-lexicon) → phone IDs, subword IDs via the same deterministic crc32 fallback
-apps/inference.py uses, zero CLS (pitch shift 0) — so a model trained on
+lexicon) → phone IDs, subword IDs from a trained tokenizer asset
+(--tokenizer-json, e.g. tools/train_tokenizer.py output — pass the same
+file to inference) or the deterministic crc32 fallback apps/inference.py
+uses, zero CLS (pitch shift 0) — so a model trained on
 this corpus is in-distribution for raw-text inference through
 apps/inference.py / apps/best_checkpoint.py (the reference's
 inference.py:342-375 path).  Writes {split}_text.txt ("id|sentence") next
@@ -236,15 +238,23 @@ def load_syllables(lexicon_path: str, limit: int = 4000):
     return sylls
 
 
-def make_text_utterance(rng, sylls, t2s, sub_vocab: int):
-    """Real text → real front-end → phase-true synthesized audio."""
+def make_text_utterance(rng, sylls, t2s, sub_vocab: int, tokenizer=None):
+    """Real text → real front-end → phase-true synthesized audio.
+
+    ``tokenizer`` (a text.bert.SubwordTokenizer) replaces the crc32
+    fallback when given, so the corpus subword stream comes from a trained
+    vibert-style asset exactly as the reference's does (reference
+    data_utils.py:15-26)."""
     from tacotron2_subword_tpu.text.bert import hashed_subword_ids
 
     n_words = rng.randint(4, 11)
     text = " ".join(sylls[rng.randint(len(sylls))] for _ in range(n_words))
     norm = unicodedata.normalize("NFKC", text).lower()
     phones = np.asarray(t2s.grapheme_to_sequence(norm), np.int32)
-    sub = hashed_subword_ids(norm, sub_vocab)
+    if tokenizer is not None:
+        sub = tokenizer.encode(norm) % sub_vocab  # matches inference.py
+    else:
+        sub = hashed_subword_ids(norm, sub_vocab)
     cls = np.zeros(CLS_DIM, np.float32)  # = the inference-time fallback
     wav, durs = synth_wav(phones, 0.0, noise_seed=rng.randint(1 << 30))
     mel = mel_from_wav(wav, int(durs.sum()))
@@ -267,16 +277,30 @@ def main():
     ap.add_argument("--sub-vocab", type=int, default=SUB_VOCAB,
                     help="must match the sub_n_symbols the model will be "
                          "trained/infered with (crc32 fallback IDs)")
+    ap.add_argument("--tokenizer-json", default=None,
+                    help="trained tokenizers.Tokenizer JSON (e.g. "
+                         "tools/train_tokenizer.py output); replaces the "
+                         "crc32 fallback for the subword stream in "
+                         "--from-text mode — pass the SAME file to "
+                         "apps/inference.py --tokenizer-json")
     ap.add_argument("--no-wavs", action="store_true",
                     help="skip writing the ground-truth wavs (mels only)")
     args = ap.parse_args()
 
-    t2s, sylls = None, None
+    t2s, sylls, tokenizer = None, None, None
     if args.from_text:
         from tacotron2_subword_tpu.text import Text2Seq
         t2s = Text2Seq(args.lexicon)
         sylls = load_syllables(args.lexicon)
-        print(f"front-end ready: {len(sylls)} syllables")
+        if args.tokenizer_json:
+            from tacotron2_subword_tpu.text.bert import SubwordTokenizer
+            tokenizer = SubwordTokenizer(args.tokenizer_json)
+            if tokenizer.vocab_size > args.sub_vocab:
+                ap.error(f"tokenizer vocab {tokenizer.vocab_size} exceeds "
+                         f"--sub-vocab {args.sub_vocab}")
+        print(f"front-end ready: {len(sylls)} syllables"
+              + (f", tokenizer vocab {tokenizer.vocab_size}"
+                 if tokenizer else " (crc32 subword fallback)"))
 
     from scipy.io.wavfile import write as wavwrite
 
@@ -290,7 +314,8 @@ def main():
             rng = np.random.RandomState(args.seed * 999983 + off + i)
             if args.from_text:
                 text, phones, durations, sub, cls, mel, wav = \
-                    make_text_utterance(rng, sylls, t2s, args.sub_vocab)
+                    make_text_utterance(rng, sylls, t2s, args.sub_vocab,
+                                        tokenizer)
                 text_rows.append(f"{i}|{text}")
             else:
                 phones, durations, sub, cls, mel, wav = make_utterance(rng)
