@@ -396,3 +396,51 @@ def test_check_bert_emb_fallback_and_tokenizer(tmp_path, capsys):
         sys.argv = argv
     out = capsys.readouterr().out
     assert "crc32_512" in out and "prefix_match" in out
+
+
+def test_inference_cli_with_trained_tokenizer(tmp_path, ckpt_dir,
+                                              g2p_resources, monkeypatch):
+    """--tokenizer-json end-to-end: the real inference CLI sources the
+    subword stream from a trained vibert-style asset (mod sub_n_symbols,
+    reference data_utils.py:15-26) instead of the crc32 fallback, and
+    still renders audio through the full text->wav path."""
+    pytest.importorskip("tokenizers")
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "train_tokenizer", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools", "train_tokenizer.py"))
+    TT = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(TT)
+
+    lex, resdir = g2p_resources
+    monkeypatch.setenv("T2S_RESOURCES_DIR", resdir)
+    tok = TT.train_wordpiece(
+        ["ba me em", "an anh banh", "nam em ba", "me banh an"] * 8,
+        vocab_size=48)
+    tok_path = str(tmp_path / "vibert_tiny.json")
+    tok.save(tok_path)
+
+    # spy: the CLI must route text through SubwordTokenizer.encode
+    from tacotron2_subword_tpu.text import bert as B
+    seen = []
+    orig = B.SubwordTokenizer.encode
+    monkeypatch.setattr(
+        B.SubwordTokenizer, "encode",
+        lambda self, text: (seen.append(text), orig(self, text))[1])
+
+    script = tmp_path / "script.txt"
+    script.write_text("utt0|ba me em\n", encoding="utf-8")
+    out = tmp_path / "demo_tok"
+    from tacotron2_subword_tpu.apps import inference as I
+    args = I.build_argparser().parse_args([
+        "--script", str(script), "--checkpoint-dir", ckpt_dir,
+        "--out-dir", str(out), "--g2p-lexicon", lex,
+        "--tokenizer-json", tok_path,
+        "--max-decoder-steps", "16", "--hparams", HP])
+    assert I.run_inference(args) == 1
+    assert seen == ["ba me em"]
+    assert (out / "audio" / "utt0.wav").exists()
+    # and the stream the model saw is the tokenizer's, mod sub_n_symbols
+    ids = orig(B.SubwordTokenizer(tok_path), "ba me em") % 31
+    assert len(ids) > 0 and int(ids.max()) < 31
