@@ -79,7 +79,11 @@ def cmd_subwords(args):
     for i, (utt_id, text) in enumerate(lines):
         text = _normalize(text, args.norm_cmd)
         if tokenizer is not None:
-            ids = tokenizer.encode(text)
+            # same convention as apps/inference.py and the corpus
+            # generator: IDs folded into the embedding table — a tokenizer
+            # larger than --vocab would otherwise train in-range and then
+            # index out of range (or differently) at inference time
+            ids = tokenizer.encode(text) % args.vocab
         else:
             from tacotron2_subword_tpu.text.bert import hashed_subword_ids
             ids = hashed_subword_ids(text, args.vocab)

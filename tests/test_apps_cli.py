@@ -259,6 +259,33 @@ def test_preprocess_cli_pipeline(tmp_path, g2p_resources, monkeypatch):
          "--vocab", "64"])
     np.testing.assert_array_equal(sub, np.load(sub2_dir / "1.npy"))
 
+    # trained-tokenizer arm: IDs folded into --vocab exactly as
+    # apps/inference.py folds into sub_n_symbols (the streams must agree
+    # between preprocess-time and inference-time for the same text)
+    try:
+        import tokenizers  # noqa: F401
+    except ImportError:
+        pass
+    else:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "train_tokenizer", os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "tools", "train_tokenizer.py"))
+        TT = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(TT)
+        tok = TT.train_wordpiece(["ba me", "em nam an"] * 8, vocab_size=48)
+        tok_path = str(tmp_path / "vibert_tiny.json")
+        tok.save(tok_path)
+        run(["subwords", "--transcript", str(transcript), "--sub-dir",
+             str(tmp_path / "sub_tok"), "--cls-dir", str(tmp_path / "cls3"),
+             "--vocab", "31", "--tokenizer-json", tok_path])
+        from tacotron2_subword_tpu.text.bert import SubwordTokenizer
+        st = SubwordTokenizer(tok_path)
+        got = np.load(tmp_path / "sub_tok" / "1.npy")
+        np.testing.assert_array_equal(got, st.encode("em nam an") % 31)
+        assert (got < 31).all()
+
     # durations stand-in for lists: reuse phones dir (any npy per utt)
     run(["lists", "--wav-dir", str(wavd), "--dur-dir",
          str(tmp_path / "phones"), "--train-out",

@@ -88,7 +88,10 @@ def lexicon_sentences(lexicon_path: str, n: int, seed: int = 0) -> List[str]:
     """Seeded random sentences from the syllable inventory — the same
     4-10-word composition make_synthetic_dataset --from-text uses."""
     import numpy as np
-    from tools.make_synthetic_dataset import load_syllables
+    try:
+        from tools.make_synthetic_dataset import load_syllables
+    except ImportError:  # direct script run: tools/ itself is sys.path[0]
+        from make_synthetic_dataset import load_syllables
 
     sylls = load_syllables(lexicon_path)
     rng = np.random.RandomState(seed)
